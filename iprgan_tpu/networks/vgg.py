@@ -1,0 +1,64 @@
+"""VGG19 feature extractor for the SRGAN perceptual loss
+(reference networks/vgg.py:5-40).
+
+The reference truncates torchvision's pretrained VGG19 at a named layer
+(default relu5_4) and freezes it. Here the architecture is implemented in
+flax; pretrained weights are loaded from a converted torchvision
+state-dict when available (see scripts/convert_torch_weights.py) — this
+environment has no network egress, so without a provided weight file the
+extractor falls back to a fixed-seed random init (features are then only
+self-consistent, not ImageNet-pretrained; a warning is printed once).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from flax import linen as nn
+
+from iprgan_tpu.nn import Conv
+
+# channels per conv layer, 'M' = 2x2 maxpool (VGG19 "features" stack)
+_VGG19_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M")
+
+LAYER_NAMES: list[str] = []
+_conv_i, _block, _in_block = 0, 1, 1
+for _c in _VGG19_CFG:
+    if _c == "M":
+        LAYER_NAMES.append(f"pool{_block}")
+        _block += 1
+        _in_block = 1
+    else:
+        LAYER_NAMES.append(f"conv{_block}_{_in_block}")
+        LAYER_NAMES.append(f"relu{_block}_{_in_block}")
+        _in_block += 1
+
+
+class VGG19Feature(nn.Module):
+    layer: str = "relu5_4"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        stop = LAYER_NAMES.index(self.layer)
+        i = 0  # index into LAYER_NAMES as layers are emitted
+        conv_idx = 0
+        for c in _VGG19_CFG:
+            if c == "M":
+                if i > stop:
+                    break
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                i += 1
+            else:
+                if i > stop:
+                    break
+                x = Conv(c, 3, 1, padding=1, dtype=self.dtype,
+                         name=f"conv{conv_idx}")(x)
+                conv_idx += 1
+                i += 1
+                if i > stop:
+                    break
+                x = nn.relu(x)
+                i += 1
+        return x
