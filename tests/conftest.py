@@ -16,8 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may already be imported (and JAX_PLATFORMS captured) by the
+# environment's sitecustomize, so set the config knob directly too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+assert jax.default_backend() == "cpu"
+assert jax.device_count() == 8
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
