@@ -1,0 +1,267 @@
+"""Image-generation experiment (DCGAN & VAE driver).
+
+Reference: experiments/image_generation.py. Train loop, periodic
+sample-grid + checkpoint, and the evaluation pipeline (FID + IS against
+the eval dataset, black-box Q_WM/PDQ p-value/match count, white-box BER).
+
+TPU-first training path: the whole (small) image dataset lives in device
+HBM as uint8; each compiled chunk scans ``n`` train steps, sampling batch
+indices and latents from the threaded PRNG and normalizing on device —
+zero host->device traffic during training.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iprgan_tpu.config import Config
+from iprgan_tpu.data import get_dataset
+from iprgan_tpu.experiments.base import Experiment
+from iprgan_tpu.ops.pdq import compute_matching_prob
+from iprgan_tpu.ops.ssim import ssim as ssim_fn
+from iprgan_tpu.protection import make_transform
+import iprgan_tpu.models  # noqa: F401  (populate MODELS registry)
+from iprgan_tpu.registry import EXPERIMENTS, MODELS
+from iprgan_tpu.utils import (
+    ImageWriter,
+    calculate_frechet_distance,
+    calculate_inception_score,
+)
+
+
+def _postproc(x):
+    return (np.clip(np.asarray(x), -1.0, 1.0) + 1.0) / 2.0
+
+
+@EXPERIMENTS.register("ImageGeneration")
+class ImageGeneration(Experiment):
+
+    def __init__(self, config):
+        print("IMAGE GENERATION EXPERIMENT\n")
+        super().__init__(config)
+        self.configure_dataset()
+        self.configure_model()
+
+    # -- configuration -----------------------------------------------------
+    def configure_dataset(self):
+        print("*** DATASET ***")
+        name = self.config.dataset.name
+        self.dataset = get_dataset(
+            name, path=self.config.dataset.path,
+            size=self.config.dataset.size)
+        # park the dataset in device HBM (uint8), replicated over the mesh
+        self.data_device = self.pctx.replicate(
+            jnp.asarray(self.dataset.images))
+        print(f"Name: {name.upper()}")
+        print(f"# samples: {len(self.dataset)}\n")
+
+    def configure_model(self):
+        model_conf = self.config.model
+        protection = self.config.get("protection", None)
+        self.model = MODELS(model_conf.type)(
+            model_conf,
+            protection_config=protection,
+            hparam=self.config.hparam.to_dict(),
+            image_size=self.config.dataset.size,
+            dtype=_dtype_of(self.config),
+        )
+        self.bbox = self.model.protection.bbox is not None
+        self.wbox = self.model.protection.wbox is not None
+
+        self.rng = jax.random.PRNGKey(self.config.seed)
+        self.rng, k = jax.random.split(self.rng)
+        self.state = self.pctx.replicate(
+            jax.device_get(self.model.init_state(k)))
+        self._chunk_fns = {}
+        self._gen_eval = jax.jit(self.model.generate)
+
+        n_g = sum(x.size for x in jax.tree_util.tree_leaves(
+            self.state["G"]["params"]))
+        n_d = sum(x.size for x in jax.tree_util.tree_leaves(
+            self.state["D"]["params"]))
+        print("*** MODEL ***")
+        print(f"G: {model_conf.G}\n# params: {n_g}")
+        print(f"D: {model_conf.D}\n# params: {n_d}\n")
+        if self.bbox:
+            print("*** BLACK-BOX ***")
+            print(f"lambda: {self.model.protection.lam}")
+            print(f"Loss: {self.model.protection.loss_name}\n")
+        if self.wbox:
+            print("*** WHITE-BOX ***")
+            print(f"Gamma0: {self.model.protection.gamma_0}")
+            print(f"Signature: {self.model.protection.string}\n")
+
+    # -- training ----------------------------------------------------------
+    def _chunk_fn(self, n: int):
+        if n in self._chunk_fns:
+            return self._chunk_fns[n]
+        model = self.model
+        pctx = self.pctx
+        bsz = self.config.hparam.bsz
+        d_iter = model.d_iter
+
+        @partial(jax.jit, static_argnums=(), donate_argnums=(0,))
+        def chunk(state, data_u8, rng):
+            def body(state, key):
+                kidx, kstep = jax.random.split(key)
+                idx = jax.random.randint(
+                    kidx, (d_iter, bsz), 0, data_u8.shape[0])
+                real = jnp.take(data_u8, idx, axis=0)
+                real = pctx.constrain_batch(real, axis=1)
+                real = real.astype(jnp.float32) / 127.5 - 1.0
+                return model.train_step(state, {"real": real}, kstep)
+
+            keys = jax.random.split(rng, n)
+            return jax.lax.scan(body, state, keys)
+
+        self._chunk_fns[n] = chunk
+        return chunk
+
+    def train_chunk(self, n: int):
+        self.rng, k = jax.random.split(self.rng)
+        self.state, metrics = self._chunk_fn(n)(
+            self.state, self.data_device, k)
+        return {key: np.asarray(v) for key, v in metrics.items()}
+
+    # -- checkpointing -----------------------------------------------------
+    def periodic_checkpoint(self, step: int):
+        bsz = self.config.hparam.bsz
+        if not hasattr(self, "fixed_z"):
+            self.rng, k = jax.random.split(self.rng)
+            z = jax.random.normal(k, (bsz, self.model.Z_DIM))
+            if self.bbox:
+                zwm = self.model.transform_latent(self.state, z[: bsz // 2])
+                z = jnp.concatenate([z[: bsz - bsz // 2], zwm], axis=0)
+            self.fixed_z = z
+        img = _postproc(self._gen_eval(self.state, self.fixed_z))
+        self.logger.save_images(img, step)
+        self.save_checkpoint(step)
+
+    # -- evaluation --------------------------------------------------------
+    def _masker(self):
+        """Eval comparator: fn_out rebuilt with opaque=True, whose
+        apply_mask crops the watermark corner
+        (reference experiments/image_generation.py:144-149)."""
+        conf = Config(self.model.protection.bbox.fn_out.to_dict())
+        conf["opaque"] = True
+        t = make_transform(conf, normalized=True)
+        buf = t.init_buffers(jax.random.PRNGKey(0))
+        return lambda x: np.asarray(t.apply_mask(buf, jnp.asarray(x)))
+
+    def _feature_fn(self):
+        """InceptionV3 (TF-FID variant) activations + softmax probs."""
+        from iprgan_tpu.networks.inception import InceptionActivations
+
+        return InceptionActivations.build(self.config)
+
+    def evaluate(self, fpath: str):
+        cfg = self.config
+        apply_mask = self._masker() if self.bbox else None
+        eval_rng = jax.random.PRNGKey(cfg.seed)
+
+        print("*** EVALUATION ***")
+        inception = self._feature_fn()
+
+        if self.wbox:
+            target = getattr(self.model, "wbox_target", "G")
+            ber = self.model.protection.ber(
+                self.state, self.state[target]["params"])
+        else:
+            ber = float("nan")
+
+        sample_dir = cfg.get("sample_dir", None)
+        writer = ImageWriter(sample_dir) if sample_dir else None
+
+        metrics = {}
+        for data in cfg.evaluation.data:
+            ds = get_dataset(data["name"], path=data["path"],
+                             size=data["size"])
+            stats = {"fx": [], "fy": [], "prob": []}
+            if self.bbox:
+                stats.update(q=[], p=[], m=[])
+            n_batches = math.ceil(len(ds) / data["bsz"])
+            for bi, y_u8 in enumerate(ds.iter_eval(data["bsz"])):
+                y = jnp.asarray(y_u8, jnp.float32) / 127.5 - 1.0
+                eval_rng, zk = jax.random.split(eval_rng)
+                z = jax.random.normal(zk, (y.shape[0], self.model.Z_DIM))
+                x = self._gen_eval(self.state, z)
+
+                if writer:
+                    for img in _postproc(x):
+                        writer(img, suffix="gen")
+
+                if self.bbox:
+                    zwm = self.model.transform_latent(self.state, z)
+                    xwm = self._gen_eval(self.state, zwm)
+                    ywm = self.model.transform_output(self.state, x)
+                    if writer:
+                        for img in _postproc(xwm):
+                            writer(img, suffix="wm")
+                    wm_x = _postproc(apply_mask(xwm))
+                    wm_y = _postproc(apply_mask(ywm))
+                    q = ssim_fn(jnp.asarray(wm_x), jnp.asarray(wm_y),
+                                data_range=1.0, size_average=False)
+                    p = compute_matching_prob(wm_x, wm_y)
+                    stats["q"].append(np.asarray(q))
+                    stats["p"].append(p)
+                    stats["m"].append(p < cfg.evaluation.p_thres)
+
+                fx, px = inception(x)
+                fy, _ = inception(y)
+                stats["fx"].append(np.asarray(fx))
+                stats["fy"].append(np.asarray(fy))
+                stats["prob"].append(np.asarray(px))
+                if bi + 1 >= n_batches:
+                    break
+
+            for k in stats:
+                stats[k] = np.concatenate(stats[k], axis=0)
+
+            mu1, mu2 = stats["fx"].mean(0), stats["fy"].mean(0)
+            sig1 = np.cov(stats["fx"], rowvar=False)
+            sig2 = np.cov(stats["fy"], rowvar=False)
+            fid = calculate_frechet_distance(mu1, sig1, mu2, sig2)
+            is_mean, is_std = calculate_inception_score(stats["prob"])
+            ssim_wm = float(np.mean(stats["q"])) if self.bbox else float("nan")
+            p_value = float(np.mean(stats["p"])) if self.bbox else float("nan")
+            match = int(np.sum(stats["m"])) if self.bbox else 0
+            sample_size = len(ds)
+
+            entry = {
+                "FID": f"{fid:.4f}",
+                "IS_MEAN": f"{is_mean:.4f}",
+                "IS_STD": f"{is_std:.4f}",
+            }
+            if self.wbox:
+                entry["WBOX"] = f"{ber:.4f}"
+            if self.bbox:
+                entry["BBOX"] = {
+                    "Q_WM": f"{ssim_wm:.4f}",
+                    "P": f"{p_value:.3e}",
+                    "MATCH": f"{match:d}/{sample_size:d}",
+                }
+            metrics[data["name"]] = entry
+
+            print(f"Dataset: {data['name']}"
+                  f"\n\tFID: {fid:.2f}"
+                  f"\n\tIS: {is_mean:.4f} +/- {is_std:.4f}"
+                  f"\n\tWBOX: {ber:.4f}"
+                  f"\n\tBBOX: Q_WM {ssim_wm:.4f}  P {p_value:.3e}"
+                  f"  MATCH {match}/{sample_size}")
+
+        with open(fpath, "w") as f:
+            json.dump(metrics, f, indent=2, sort_keys=True)
+        return metrics
+
+
+def _dtype_of(config):
+    name = config.resource.get("dtype", "float32") if "resource" in config \
+        else "float32"
+    return {"float32": None, "bfloat16": jnp.bfloat16}[name]

@@ -1,0 +1,183 @@
+"""PDQ 256-bit perceptual hash + binomial match p-value.
+
+The reference verifies black-box ownership by PDQ-hashing the generated
+watermark region and the pasted target, counting matching bits, and
+computing p = 1 - BinomCDF(matches-1; 256, 0.5) per image
+(reference tools/phash_pvalue.py:7-38; hashing done by the ``pdqhash``
+C++ extension).
+
+This module implements PDQ per Facebook's published TMK+PDQF spec:
+RGB -> REC601 luma, two-pass Jarosz box-filter downsample to 64x64,
+16x64 DCT-II (frequencies 1..16, DC skipped) applied two-sided, median
+threshold -> 256 bits. A C++ implementation (native/pdq/pdq.cc, loaded
+via ctypes) accelerates batch hashing; this numpy version is the
+reference/fallback and the two are tested bit-identical. Exact bit
+parity with the upstream ``pdqhash`` wheel cannot be verified in this
+offline environment; what the metric requires is self-consistency (both
+hashes in the comparison come from this implementation).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+from scipy.stats import binom
+
+HASH_BITS = 256
+_DCT_N = 64
+_DCT_K = 16
+
+
+def _luma(img_u8: np.ndarray) -> np.ndarray:
+    """uint8 HWC RGB -> float luma (REC601 coefficients, as PDQ)."""
+    f = img_u8.astype(np.float64)
+    return f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+
+
+def _jarosz_window(old_dim: int, new_dim: int) -> int:
+    """PDQ's box-filter window: ceil-ish (old + 2*new - 1) // (2*new)."""
+    return max(1, (old_dim + 2 * new_dim - 1) // (2 * new_dim))
+
+
+def _box_1d(x: np.ndarray, w: int, axis: int) -> np.ndarray:
+    """Centered moving average with truncated borders along ``axis``."""
+    if w <= 1:
+        return x
+    x = np.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    csum = np.concatenate(
+        [np.zeros((1,) + x.shape[1:]), np.cumsum(x, axis=0)], axis=0)
+    lo = w // 2
+    hi = w - lo
+    starts = np.clip(np.arange(n) - lo, 0, n)
+    ends = np.clip(np.arange(n) + hi, 0, n)
+    out = (csum[ends] - csum[starts]) / (ends - starts).reshape(
+        (-1,) + (1,) * (x.ndim - 1))
+    return np.moveaxis(out, 0, axis)
+
+
+def _downsample_64(luma: np.ndarray) -> np.ndarray:
+    """Two-pass Jarosz box filter then center-point decimation to 64x64."""
+    h, w = luma.shape
+    wy = _jarosz_window(h, _DCT_N)
+    wx = _jarosz_window(w, _DCT_N)
+    buf = luma
+    for _ in range(2):  # nreps = 2
+        buf = _box_1d(buf, wy, axis=0)
+        buf = _box_1d(buf, wx, axis=1)
+    yi = np.minimum(((np.arange(_DCT_N) + 0.5) * h / _DCT_N).astype(int), h - 1)
+    xi = np.minimum(((np.arange(_DCT_N) + 0.5) * w / _DCT_N).astype(int), w - 1)
+    return buf[np.ix_(yi, xi)]
+
+
+@functools.lru_cache(maxsize=1)
+def _dct_matrix() -> np.ndarray:
+    """16x64 DCT-II matrix over frequencies 1..16 (DC excluded)."""
+    i = np.arange(_DCT_K).reshape(-1, 1)
+    j = np.arange(_DCT_N).reshape(1, -1)
+    return np.sqrt(2.0 / _DCT_N) * np.cos(
+        np.pi / (2.0 * _DCT_N) * (2 * j + 1) * (i + 1))
+
+
+def hash_luma64(block64: np.ndarray) -> np.ndarray:
+    """64x64 luma block -> 256-bool hash (16x16 DCT vs median)."""
+    t = _dct_matrix()
+    d = t @ block64 @ t.T  # (16, 16)
+    return (d > np.median(d)).reshape(-1)
+
+
+def _hash_one_numpy(img_u8: np.ndarray) -> np.ndarray:
+    return hash_luma64(_downsample_64(_luma(img_u8)))
+
+
+# ---------------------------------------------------------------------------
+# native backend
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _load_native():
+    """ctypes binding to the C++ PDQ kernel (built by `make -C native`)."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    import ctypes
+
+    so = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                      "native", "build", "libpdq.so")
+    so = os.path.abspath(so)
+    if not os.path.exists(so):
+        _NATIVE = False
+        return False
+    lib = ctypes.CDLL(so)
+    lib.pdq_hash_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.pdq_hash_batch.restype = None
+    _NATIVE = lib
+    return lib
+
+
+def compute_hash(images_u8: np.ndarray, use_native: bool | None = None
+                 ) -> np.ndarray:
+    """Batch hash: (N, H, W, 3) uint8 -> (N, 256) bool."""
+    images_u8 = np.ascontiguousarray(images_u8)
+    assert images_u8.dtype == np.uint8 and images_u8.ndim == 4
+
+    lib = _load_native() if use_native in (None, True) else False
+    if lib:
+        import ctypes
+
+        n, h, w, _ = images_u8.shape
+        out = np.zeros((n, HASH_BITS), np.uint8)
+        lib.pdq_hash_batch(
+            images_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.astype(bool)
+    if use_native is True:
+        raise RuntimeError("native PDQ library not built")
+    return np.stack([_hash_one_numpy(im) for im in images_u8])
+
+
+def _to_uint8(img01: np.ndarray) -> np.ndarray:
+    """[0,1] float -> uint8 by truncation (torchvision to_pil_image)."""
+    return (np.clip(img01, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def _bicubic_resize(img01: np.ndarray, size) -> np.ndarray:
+    from PIL import Image
+
+    h, w = size
+    u8 = _to_uint8(img01)
+    return np.asarray(
+        Image.fromarray(u8).resize((w, h), Image.BICUBIC), np.uint8)
+
+
+def compute_matching_prob(img1_01: np.ndarray, img2_01: np.ndarray,
+                          min_size: int = 32) -> np.ndarray:
+    """Per-image binomial p-value of the PDQ hash match.
+
+    Inputs: (N, H, W, 3) float in [0, 1] (NHWC). Tiny images are bicubic
+    upscaled to >= min_size first (reference tools/phash_pvalue.py:24-29).
+    p = 1 - BinomCDF(matches - 1; 256, 0.5).
+    """
+    assert img1_01.shape == img2_01.shape and img1_01.ndim == 4
+    n, h, w, _ = img1_01.shape
+    k = min(h, w)
+    if k < min_size:
+        nh, nw = int(h * min_size / k), int(w * min_size / k)
+        a = np.stack([_bicubic_resize(im, (nh, nw)) for im in img1_01])
+        b = np.stack([_bicubic_resize(im, (nh, nw)) for im in img2_01])
+    else:
+        a = _to_uint8(img1_01)
+        b = _to_uint8(img2_01)
+
+    ha = compute_hash(a)
+    hb = compute_hash(b)
+    nbits = ha.shape[1]
+    matches = nbits - np.logical_xor(ha, hb).sum(axis=1)
+    return np.asarray(
+        1.0 - binom(n=nbits, p=0.5).cdf(matches - 1), np.float32)

@@ -1,0 +1,57 @@
+"""Data-parallel runtime over a 1-D device mesh.
+
+Replaces the reference's device-configuration layer + torch DataParallel
+(experiments/base.py:24-43, models/dcgan.py:16-17) with the TPU-native
+idiom: a ``jax.sharding.Mesh`` with a ``data`` axis, replicated
+parameters, batch-sharded inputs, and XLA-inserted gradient all-reduce
+over ICI (GSPMD propagates a psum from the batch-sharded loss mean; no
+hand-written collectives needed).
+
+The reference's weak-scaling semantics are preserved by the experiment
+layer: global batch = per-chip bsz x n_chips, iterations / n_chips
+(experiments/base.py:36-39).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class ParallelContext:
+    """Mesh + sharding helpers for data parallelism.
+
+    ``n_requested`` mirrors ``resource.ngpu`` (number of chips);
+    ``use_accel=False`` (resource.gpu: false) pins to a single device.
+    """
+
+    def __init__(self, n_requested: int = 1, use_accel: bool = True):
+        devices = jax.devices()
+        n = min(len(devices), max(1, n_requested)) if use_accel else 1
+        self.n = n
+        self.mesh = Mesh(np.asarray(devices[:n]), ("data",))
+        self.replicated = NamedSharding(self.mesh, P())
+
+    def batch_sharding(self, ndim: int, axis: int) -> NamedSharding:
+        """Shard dimension ``axis`` of an ndim-array over the data axis."""
+        spec = [None] * ndim
+        spec[axis] = "data"
+        return NamedSharding(self.mesh, P(*spec))
+
+    def replicate(self, tree):
+        """Place a pytree fully replicated on the mesh."""
+        return jax.device_put(tree, self.replicated)
+
+    def shard_batch(self, x, axis: int = 0):
+        """Place a host batch sharded over the data axis."""
+        return jax.device_put(x, self.batch_sharding(np.ndim(x), axis))
+
+    def constrain_batch(self, x, axis: int = 0):
+        """In-jit sharding constraint forcing batch-parallel layout."""
+        return jax.lax.with_sharding_constraint(
+            x, self.batch_sharding(x.ndim, axis))
+
+    def describe(self) -> str:
+        kinds = {d.platform for d in self.mesh.devices.flat}
+        return f"{self.n} device(s) [{', '.join(sorted(kinds))}] mesh axes ('data',)"
