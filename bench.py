@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Headline benchmark: protected DCGAN-CIFAR10 training throughput.
+
+Measures steps/sec of the full complete-protection DCGAN train step
+(hinge GAN + SSIM watermark-consistency + sign loss, bsz 64, 32x32) —
+the BASELINE.json north-star workload — on the default JAX device (the
+real TPU chip under the driver). For ``vs_baseline`` it times the same
+workload implemented with PyTorch on this host's CPU (the reference
+stack is torch; no CUDA in this image), so the ratio is JAX-TPU vs
+torch-CPU-1-core. The reference repo publishes no numbers of its own
+(BASELINE.md).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+import contextlib
+import json
+import os
+import sys
+import time
+
+BSZ = 64
+CHUNK = 50
+
+
+def bench_jax() -> float:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("IPRGAN_JAX_CACHE", "/tmp/iprgan_jax_cache"))
+
+    from __graft_entry__ import _dcgan_config
+    import iprgan_tpu.models  # noqa: F401
+    import jax.numpy as jnp
+    from iprgan_tpu.data import get_dataset
+    from iprgan_tpu.registry import MODELS
+
+    config = _dcgan_config(1, BSZ, "/tmp/iprgan_bench_log")
+    model = MODELS("DCGAN")(
+        config.model, protection_config=config.protection,
+        hparam={}, image_size=32)
+    state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
+    data = jnp.asarray(get_dataset("synthetic", size=32).images)
+
+    @jax.jit
+    def chunk(state, data_u8, rng):
+        def body(state, key):
+            kidx, kstep = jax.random.split(key)
+            idx = jax.random.randint(kidx, (1, BSZ), 0, data_u8.shape[0])
+            real = jnp.take(data_u8, idx, axis=0)
+            real = real.astype(jnp.float32) / 127.5 - 1.0
+            return model.train_step(state, {"real": real}, kstep)
+
+        return jax.lax.scan(body, state, jax.random.split(rng, CHUNK))
+
+    rng = jax.random.PRNGKey(1)
+    # warmup / compile
+    state, _ = chunk(state, data, rng)
+    jax.block_until_ready(state)
+
+    n_chunks = 4
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        rng, k = jax.random.split(rng)
+        state, metrics = chunk(state, data, k)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return n_chunks * CHUNK / dt
+
+
+def bench_torch_cpu(n_steps: int = 6) -> float:
+    """Reference-equivalent workload in torch on CPU (same architecture
+    family, hinge + SSIM + sign losses), timed for a few steps."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Linear(128, 512 * 16)
+            blocks = []
+            for cin, cout in ((512, 256), (256, 128), (128, 64)):
+                blocks += [nn.ConvTranspose2d(cin, cout, 4, 2, 1, bias=False),
+                           nn.BatchNorm2d(cout), nn.ReLU(True)]
+            blocks += [nn.ConvTranspose2d(64, 3, 3, 1, 1, bias=False),
+                       nn.Tanh()]
+            self.net = nn.Sequential(*blocks)
+
+        def forward(self, z):
+            h = torch.relu(self.fc(z)).view(-1, 512, 4, 4)
+            return self.net(h)
+
+    class D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            sn = nn.utils.spectral_norm
+            layers = []
+            cin = 3
+            for cout in (64, 128, 256):
+                layers += [sn(nn.Conv2d(cin, cout, 3, 1, 1)),
+                           nn.LeakyReLU(0.1, True),
+                           sn(nn.Conv2d(cout, cout, 4, 2, 1)),
+                           nn.LeakyReLU(0.1, True)]
+                cin = cout
+            layers += [sn(nn.Conv2d(256, 512, 3, 1, 1)),
+                       nn.LeakyReLU(0.1, True), nn.Flatten(),
+                       sn(nn.Linear(512 * 16, 1))]
+            self.net = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.net(x).view(-1)
+
+    def ssim_loss(x, y):
+        # gaussian-window SSIM on [0,1] images (pytorch_msssim-style)
+        win = torch.exp(-((torch.arange(11) - 5.0) ** 2) / (2 * 1.5 ** 2))
+        win = (win / win.sum()).float()
+        k2d = (win[:, None] @ win[None, :]).expand(3, 1, 11, 11)
+        mu1 = F.conv2d(x, k2d, groups=3)
+        mu2 = F.conv2d(y, k2d, groups=3)
+        s1 = F.conv2d(x * x, k2d, groups=3) - mu1 ** 2
+        s2 = F.conv2d(y * y, k2d, groups=3) - mu2 ** 2
+        s12 = F.conv2d(x * y, k2d, groups=3) - mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+        return 1 - m.mean()
+
+    g, d = G(), D()
+    opt_g = torch.optim.Adam(g.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(d.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    signs = [torch.sign(torch.randn_like(m.weight))
+             for m in g.modules() if isinstance(m, nn.BatchNorm2d)]
+    real = torch.rand(BSZ, 3, 32, 32) * 2 - 1
+    wm = torch.rand(1, 3, 16, 16)
+
+    def step():
+        z = torch.randn(BSZ, 128)
+        fake = g(z)
+        loss_d = F.relu(1 - d(real)).mean() + F.relu(1 + d(fake.detach())).mean()
+        opt_d.zero_grad(); loss_d.backward(); opt_d.step()
+        adv = -d(fake).mean()
+        with torch.no_grad():
+            zwm = torch.erf(z / 1.4142) * 1.2533 + 1.2533
+            ywm = fake.detach().clone()
+            ywm[..., :16, :16] = wm * 2 - 1
+        gxwm = g(zwm)
+        lw = ssim_loss((gxwm + 1) / 2, (ywm + 1) / 2)
+        ls = sum(F.relu(0.1 - m.weight * s).mean() for m, s in zip(
+            (m for m in g.modules() if isinstance(m, nn.BatchNorm2d)), signs))
+        loss_g = adv + lw + ls
+        opt_g.zero_grad(); loss_g.backward(); opt_g.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    with contextlib.redirect_stdout(sys.stderr):
+        jax_sps = bench_jax()
+        print(f"jax steps/s: {jax_sps:.2f}", file=sys.stderr)
+        try:
+            torch_sps = bench_torch_cpu()
+            print(f"torch-cpu steps/s: {torch_sps:.2f}", file=sys.stderr)
+        except Exception as e:  # torch baseline is best-effort
+            print(f"torch baseline failed: {e}", file=sys.stderr)
+            torch_sps = None
+
+    result = {
+        "metric": "dcgan_cifar10_complete_train_steps_per_sec",
+        "value": round(jax_sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(jax_sps / torch_sps, 2) if torch_sps else None,
+        "baseline": "reference-equivalent torch step on this host CPU "
+                    f"({round(torch_sps, 2) if torch_sps else 'n/a'} steps/s)",
+        "workload": f"DCGAN-32px bsz={BSZ} bbox(SSIM)+wbox(sign) complete",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Super-resolution experiment (SRGAN driver).
+
+Reference: experiments/image_super_resolution.py. Two-phase training
+(pixel-MSE pretrain, then perceptual GAN), pretrain snapshot at the
+phase boundary, halfway lr drop inside the compiled step, and evaluation
+with Y-channel PSNR/SSIM (4-px crop) plus black-box/white-box metrics.
+
+Data is host-streamed (random crops + bicubic 1/4 downscale are
+host-side PIL work) with a background prefetch thread producing the next
+chunk while the device trains on the current one.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iprgan_tpu.config import Config
+from iprgan_tpu.data import get_dataset
+from iprgan_tpu.data.stream import PrefetchLoader
+from iprgan_tpu.experiments.base import Experiment
+from iprgan_tpu.ops.pdq import compute_matching_prob
+from iprgan_tpu.ops.quality import psnr_uint8, rgb_to_luma_uint8, ssim_uint8
+from iprgan_tpu.ops.ssim import ssim as ssim_fn
+from iprgan_tpu.protection import make_transform
+import iprgan_tpu.models  # noqa: F401
+from iprgan_tpu.registry import EXPERIMENTS, MODELS
+from iprgan_tpu.utils import ImageWriter
+from iprgan_tpu.utils.checkpoint import PRETRAIN_NAME
+
+
+@EXPERIMENTS.register("ImageSuperResolution")
+class ImageSuperResolution(Experiment):
+
+    def __init__(self, config):
+        print("IMAGE SUPER-RESOLUTION EXPERIMENT\n")
+        super().__init__(config)
+        self.configure_dataset()
+        self.configure_model()
+
+    # -- configuration -----------------------------------------------------
+    def configure_dataset(self):
+        print("*** DATASET ***")
+        name = self.config.dataset.name
+        self.dataset = get_dataset(
+            name, path=self.config.dataset.path,
+            size=self.config.dataset.size)
+        self._data_rng = np.random.default_rng(self.config.seed)
+        self._loader = None  # built lazily once hparams are known
+        print(f"Name: {name.upper()}")
+        print(f"# samples: {len(self.dataset)}\n")
+
+    def configure_model(self):
+        model_conf = self.config.model
+        protection = self.config.get("protection", None)
+        self.model = MODELS(model_conf.type)(
+            model_conf,
+            protection_config=protection,
+            hparam=self.config.hparam.to_dict(),
+            image_size=self.config.dataset.size,
+        )
+        self.bbox = self.model.protection.bbox is not None
+        self.wbox = self.model.protection.wbox is not None
+
+        self.rng = jax.random.PRNGKey(self.config.seed)
+        self.rng, k = jax.random.split(self.rng)
+        self.state = self.pctx.replicate(
+            jax.device_get(self.model.init_state(k)))
+        self._chunk_fns = {}
+        self._gen_eval = jax.jit(self.model.generate)
+
+        print("*** MODEL ***")
+        print(f"G: {model_conf.G}  D: {model_conf.D}  V: {model_conf.V}")
+        if self.bbox:
+            print(f"BBOX lambda={self.model.protection.lam} "
+                  f"loss={self.model.protection.loss_name}")
+        if self.wbox:
+            print(f"WBOX gamma0={self.model.protection.gamma_0} "
+                  f"sig={self.model.protection.string!r}")
+        print()
+
+    # -- training ----------------------------------------------------------
+    def _produce(self, n: int):
+        lr, hr = self.dataset.sample_batches(
+            self._data_rng, n, self.model.g_iter, self.config.hparam.bsz)
+        return lr, hr
+
+    def _get_loader(self):
+        if self._loader is None:
+            self._loader = PrefetchLoader(self._produce)
+        return self._loader
+
+    def _chunk_fn(self, n: int, phase: str):
+        key = (n, phase)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+        model = self.model
+        pctx = self.pctx
+        step_fn = (model.train_step_pretrain if phase == "pre"
+                   else model.train_step_gan)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def chunk(state, lr_u8, hr_u8, rng):
+            def body(state, xs):
+                lr_i, hr_i, k = xs
+                batch = {
+                    "lr": pctx.constrain_batch(
+                        lr_i, axis=1).astype(jnp.float32) / 255.0,
+                    "hr": pctx.constrain_batch(
+                        hr_i, axis=1).astype(jnp.float32) / 255.0,
+                }
+                return step_fn(state, batch, k)
+
+            keys = jax.random.split(rng, n)
+            return jax.lax.scan(body, state, (lr_u8, hr_u8, keys))
+
+        self._chunk_fns[key] = chunk
+        return chunk
+
+    def train_chunk(self, n: int):
+        # never straddle the pretrain/GAN boundary or the halfway lr drop
+        step = int(self.state["step"]) + 1
+        pre = self.model.pretrain_iter
+        for boundary in (pre, self.model.halfway):
+            if step <= boundary:
+                n = min(n, boundary - step + 1)
+        phase = "pre" if step <= pre else "gan"
+
+        loader = self._get_loader()
+        loader.request(n)
+        lr, hr = loader.get()
+        self.rng, k = jax.random.split(self.rng)
+        self.state, metrics = self._chunk_fn(n, phase)(
+            self.state, self.pctx.shard_batch(lr, axis=2),
+            self.pctx.shard_batch(hr, axis=2), k)
+        out = {key: np.asarray(v) for key, v in metrics.items()}
+
+        if step <= pre <= step + n - 1:
+            # snapshot at the phase boundary (reference :153-155)
+            self.save_checkpoint(pre, fname=PRETRAIN_NAME)
+        return out
+
+    # -- checkpointing -----------------------------------------------------
+    def periodic_checkpoint(self, step: int):
+        if not hasattr(self, "fixed_lr"):
+            lr, _ = self.dataset.sample_batches(
+                self._data_rng, 1, 1, self.config.hparam.bsz)
+            lr = jnp.asarray(lr[0, 0], jnp.float32) / 255.0
+            if self.bbox:
+                half = lr[: self.config.hparam.bsz // 2]
+                xwm = self.model.transform_latent(self.state, half)
+                lr = jnp.concatenate([half, xwm], axis=0)
+            self.fixed_lr = lr
+        sr = np.clip(np.asarray(
+            self._gen_eval(self.state, self.fixed_lr)), 0, 1)
+        self.logger.save_images(sr, step)
+        self.save_checkpoint(step)
+
+    # -- evaluation --------------------------------------------------------
+    def _masker(self):
+        conf = Config(self.model.protection.bbox.fn_out.to_dict())
+        conf["opaque"] = True
+        t = make_transform(conf, normalized=True)
+        buf = t.init_buffers(jax.random.PRNGKey(0))
+        return lambda x: np.asarray(t.apply_mask(buf, jnp.asarray(x)))
+
+    def evaluate(self, fpath: str):
+        cfg = self.config
+        apply_mask = self._masker() if self.bbox else None
+
+        print("*** EVALUATION ***")
+        if self.wbox:
+            ber = self.model.protection.ber(
+                self.state, self.state["G"]["params"])
+        else:
+            ber = float("nan")
+
+        sample_dir = cfg.get("sample_dir", None)
+        writer = ImageWriter(sample_dir) if sample_dir else None
+
+        metrics = {}
+        for data in cfg.evaluation.data:
+            ds = get_dataset(data["name"], path=data["path"],
+                             size=data.get("size", -1))
+            stats = {"psnr": [], "ssim": []}
+            if self.bbox:
+                stats.update(q=[], p=[], m=[])
+            for lr_u8, hr_u8 in ds.iter_eval():
+                lr_img = jnp.asarray(lr_u8, jnp.float32) / 255.0
+                sr = np.clip(np.asarray(
+                    self.model.generate(self.state, lr_img)), 0, 1)
+                hr = np.asarray(hr_u8, np.float32) / 255.0
+
+                if writer:
+                    for img in sr:
+                        writer(img, suffix="gen")
+
+                if self.bbox:
+                    zwm = self.model.transform_latent(self.state, lr_img)
+                    xwm = np.clip(np.asarray(
+                        self.model.generate(self.state, zwm)), 0, 1)
+                    ywm = np.asarray(self.model.transform_output(
+                        self.state, jnp.asarray(sr)))
+                    if writer:
+                        for img in np.clip(np.asarray(zwm), 0, 1):
+                            writer(img, suffix="z")
+                        for img in xwm:
+                            writer(img, suffix="wm")
+                    wm_x = apply_mask(xwm)
+                    wm_y = apply_mask(ywm)
+                    q = ssim_fn(jnp.asarray(wm_x), jnp.asarray(wm_y),
+                                data_range=1.0, size_average=False)
+                    p = compute_matching_prob(wm_x, wm_y)
+                    stats["q"].append(np.asarray(q))
+                    stats["p"].append(p)
+                    stats["m"].append(p < cfg.evaluation.p_thres)
+
+                # Y-channel, 4-px crop (reference :237-244)
+                sr_y = rgb_to_luma_uint8(sr[0])[4:-4, 4:-4]
+                hr_y = rgb_to_luma_uint8(hr[0])[4:-4, 4:-4]
+                stats["psnr"].append(psnr_uint8(hr_y, sr_y))
+                stats["ssim"].append(ssim_uint8(hr_y, sr_y))
+
+            psnr = float(np.mean(stats["psnr"]))
+            ssim_v = float(np.mean(stats["ssim"]))
+            entry = {"PSNR": f"{psnr:.2f}", "SSIM": f"{ssim_v:.4f}"}
+
+            if self.bbox:
+                q_wm = float(np.mean(np.concatenate(stats["q"])))
+                p_value = float(np.mean(np.concatenate(stats["p"])))
+                match = int(np.sum(np.concatenate(stats["m"])))
+            if self.wbox:
+                entry["WBOX"] = f"{ber:.4f}"
+            if self.bbox:
+                entry["BBOX"] = {
+                    "Q_WM": f"{q_wm:.4f}",
+                    "P": f"{p_value:.3e}",
+                    "MATCH": f"{match:d}/{len(ds):d}",
+                }
+            metrics[data["name"]] = entry
+            print(f"Dataset: {data['name']}  PSNR {psnr:.2f} "
+                  f"SSIM {ssim_v:.4f}  WBOX {ber:.4f}")
+
+        with open(fpath, "w") as f:
+            json.dump(metrics, f, indent=2, sort_keys=True)
+        return metrics

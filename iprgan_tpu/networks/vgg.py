@@ -35,6 +35,38 @@ for _c in _VGG19_CFG:
         _in_block += 1
 
 
+def load_vgg19_features(path: str, net: "VGG19Feature"):
+    """Convert a torchvision vgg19 state dict (.pth) or a pre-converted
+    .npz into this module's variables. torchvision stores convs at
+    features.{0,2,5,7,10,12,14,16,19,21,23,25,28,30,32,34}; we map them
+    in order onto conv0..conv15 (OIHW -> HWIO)."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        import pickle
+
+        with np.load(path, allow_pickle=True) as data:
+            import jax
+
+            return jax.tree_util.tree_map(
+                np.asarray, pickle.loads(data["variables"].tobytes()))
+
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    conv_ids = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith("features.")})
+    params = {}
+    for i, idx in enumerate(conv_ids):
+        w = np.asarray(sd[f"features.{idx}.weight"])
+        b = np.asarray(sd[f"features.{idx}.bias"])
+        params[f"conv{i}"] = {"conv": {
+            "kernel": w.transpose(2, 3, 1, 0), "bias": b}}
+    return {"params": params}
+
+
 class VGG19Feature(nn.Module):
     layer: str = "relu5_4"
     dtype: Any = None

@@ -106,9 +106,18 @@ def _load_native():
         return _NATIVE
     import ctypes
 
-    so = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
-                      "native", "build", "libpdq.so")
-    so = os.path.abspath(so)
+    native_dir = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), os.pardir, os.pardir, "native"))
+    so = os.path.join(native_dir, "build", "libpdq.so")
+    if not os.path.exists(so):
+        # build on first use (checked-out repos don't carry binaries)
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
     if not os.path.exists(so):
         _NATIVE = False
         return False
