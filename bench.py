@@ -55,17 +55,20 @@ def bench_jax() -> float:
         return jax.lax.scan(body, state, jax.random.split(rng, CHUNK))
 
     rng = jax.random.PRNGKey(1)
-    # warmup / compile
-    state, _ = chunk(state, data, rng)
-    jax.block_until_ready(state)
+    # warmup / compile; synchronize by fetching a scalar — on the axon
+    # tunnel platform block_until_ready does not actually block, so all
+    # timing must be fenced with value fetches.
+    state, metrics = chunk(state, data, rng)
+    _ = float(metrics["G/Sum"][-1])
 
     n_chunks = 4
     t0 = time.perf_counter()
     for i in range(n_chunks):
         rng, k = jax.random.split(rng)
         state, metrics = chunk(state, data, k)
-    jax.block_until_ready(state)
+    sync = float(metrics["G/Sum"][-1])  # fences the whole timed region
     dt = time.perf_counter() - t0
+    assert "nan" not in str(sync)
     return n_chunks * CHUNK / dt
 
 

@@ -156,7 +156,20 @@ class ImageGeneration(Experiment):
         return lambda x: np.asarray(t.apply_mask(buf, jnp.asarray(x)))
 
     def _feature_fn(self):
-        """InceptionV3 (TF-FID variant) activations + softmax probs."""
+        """InceptionV3 (TF-FID variant) activations + softmax probs.
+
+        $IPRGAN_FAKE_INCEPTION=1 swaps in a trivially cheap extractor so
+        smoke tests / CI can exercise the full evaluate() pipeline
+        without the 2048-d Inception forward."""
+        if os.environ.get("IPRGAN_FAKE_INCEPTION"):
+            def stub(x):
+                x = np.asarray(x, np.float64)
+                n = x.shape[0]
+                feats = x.reshape(n, -1)[:, :16]
+                probs = np.full((n, 10), 0.1)
+                return feats, probs
+
+            return stub
         from iprgan_tpu.networks.inception import InceptionActivations
 
         return InceptionActivations.build(self.config)

@@ -152,7 +152,7 @@ class SRGAN:
                 aux["P/SignLoss"] = loss_s
             return total, aux
 
-        opt_state = self._set_lr(state["optG"], state["step"])
+        opt_state = self._set_lr(state["optG"], state["step"] + 1)
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["G"]["params"])
         updates, new_opt = self.optG.update(grads, opt_state,
@@ -211,7 +211,7 @@ class SRGAN:
                     aux["P/SignLoss"] = loss_s
                 return total, aux
 
-            opt_g = self._set_lr(state["optG"], state["step"])
+            opt_g = self._set_lr(state["optG"], state["step"] + 1)
             (total, aux), grads = jax.value_and_grad(g_loss, has_aux=True)(
                 gvars["params"])
             updates, new_opt_g = self.optG.update(grads, opt_g,
@@ -237,7 +237,7 @@ class SRGAN:
                 loss_f = _bce_logits(logits_f, 0.0)
                 return loss_r + loss_f, (loss_r, loss_f, m2["batch_stats"])
 
-            opt_d = self._set_lr(state["optD"], state["step"])
+            opt_d = self._set_lr(state["optD"], state["step"] + 1)
             (loss_d, (loss_r, loss_f, dbs_new)), dgrads = jax.value_and_grad(
                 d_loss, has_aux=True)(dvars["params"])
             updates, new_opt_d = self.optD.update(dgrads, opt_d,
