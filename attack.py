@@ -92,6 +92,8 @@ def main(config, args):
     attack_experiment.start()
 
     for k, v in attack_experiment.state_dict().items():
+        if k == "step":  # keep the victim's step counter
+            continue
         if k.startswith("fn_"):
             k = k + "_ov"
         exp_state_dict[k] = v

@@ -20,10 +20,10 @@ import sys
 import time
 
 BSZ = 64
-CHUNK = 50
+CHUNK = 200
 
 
-def bench_jax() -> float:
+def bench_jax(dtype=None) -> float:
     import jax
 
     jax.config.update(
@@ -39,7 +39,7 @@ def bench_jax() -> float:
     config = _dcgan_config(1, BSZ, "/tmp/iprgan_bench_log")
     model = MODELS("DCGAN")(
         config.model, protection_config=config.protection,
-        hparam={}, image_size=32)
+        hparam={}, image_size=32, dtype=dtype)
     state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
     data = jnp.asarray(get_dataset("synthetic", size=32).images)
 
@@ -61,7 +61,7 @@ def bench_jax() -> float:
     state, metrics = chunk(state, data, rng)
     _ = float(metrics["G/Sum"][-1])
 
-    n_chunks = 4
+    n_chunks = 2
     t0 = time.perf_counter()
     for i in range(n_chunks):
         rng, k = jax.random.split(rng)
@@ -168,7 +168,14 @@ def bench_torch_cpu(n_steps: int = 6) -> float:
 def main():
     with contextlib.redirect_stdout(sys.stderr):
         jax_sps = bench_jax()
-        print(f"jax steps/s: {jax_sps:.2f}", file=sys.stderr)
+        print(f"jax f32 steps/s: {jax_sps:.2f}", file=sys.stderr)
+        try:
+            import jax.numpy as jnp
+            bf16_sps = bench_jax(dtype=jnp.bfloat16)
+            print(f"jax bf16 steps/s: {bf16_sps:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"bf16 variant failed: {e}", file=sys.stderr)
+            bf16_sps = None
         try:
             torch_sps = bench_torch_cpu()
             print(f"torch-cpu steps/s: {torch_sps:.2f}", file=sys.stderr)
@@ -183,7 +190,8 @@ def main():
         "vs_baseline": round(jax_sps / torch_sps, 2) if torch_sps else None,
         "baseline": "reference-equivalent torch step on this host CPU "
                     f"({round(torch_sps, 2) if torch_sps else 'n/a'} steps/s)",
-        "workload": f"DCGAN-32px bsz={BSZ} bbox(SSIM)+wbox(sign) complete",
+        "workload": f"DCGAN-32px bsz={BSZ} bbox(SSIM)+wbox(sign) complete, f32",
+        "bf16_steps_per_sec": round(bf16_sps, 2) if bf16_sps else None,
     }
     print(json.dumps(result))
 

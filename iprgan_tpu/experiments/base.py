@@ -113,6 +113,10 @@ class Experiment(ABC):
         freq = self.config.log.freq
         max_chunk = int(self.config.hparam.get("steps_per_call", 100))
 
+        # optional device profiling: log.profile: true traces the first
+        # post-warmup chunk into <log.path>/profile for xprof/tensorboard
+        profile_at = 2 * max_chunk if self.config.log.get("profile") else -1
+
         print("*** TRAINING ***")
         step = self.init_step
         t0 = time.time()
@@ -120,7 +124,14 @@ class Experiment(ABC):
         while step <= total:
             n = min(max_chunk, total - step + 1,
                     freq - ((step - 1) % freq))
+            profiling = 0 <= profile_at <= step
+            if profiling:
+                jax.profiler.start_trace(
+                    os.path.join(self.config.log.path, "profile"))
+                profile_at = -1
             metrics = self.train_chunk(n)
+            if profiling:
+                jax.profiler.stop_trace()
             for j in range(n):
                 self.logger.write_scalar(
                     {k: float(v[j]) for k, v in metrics.items()}, step + j)

@@ -123,15 +123,18 @@ class DCGAN:
             fake_sg = jax.lax.stop_gradient(fake)
 
             def d_loss_fn(dp, spectral, real_i, fake_i):
-                logits_r, m1 = self.D.apply(
-                    {"params": dp, "spectral": spectral}, real_i,
+                # one fused D forward over [real; fake] — D has no batch
+                # statistics (spectral-norm convs only), so this is
+                # value-identical to two separate forwards and halves the
+                # kernel count of the D phase
+                b = real_i.shape[0]
+                both = jnp.concatenate([real_i, fake_i], axis=0)
+                logits, m1 = self.D.apply(
+                    {"params": dp, "spectral": spectral}, both,
                     update_sn=True, mutable=["spectral"])
-                logits_f, m2 = self.D.apply(
-                    {"params": dp, "spectral": m1["spectral"]}, fake_i,
-                    update_sn=True, mutable=["spectral"])
-                loss_r = jnp.mean(jax.nn.relu(1.0 - logits_r))
-                loss_f = jnp.mean(jax.nn.relu(1.0 + logits_f))
-                return loss_r + loss_f, (loss_r, loss_f, m2["spectral"])
+                loss_r = jnp.mean(jax.nn.relu(1.0 - logits[:b]))
+                loss_f = jnp.mean(jax.nn.relu(1.0 + logits[b:]))
+                return loss_r + loss_f, (loss_r, loss_f, m1["spectral"])
 
             (loss_d, (loss_r, loss_f, new_sp)), dgrads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(
