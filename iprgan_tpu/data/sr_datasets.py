@@ -60,19 +60,36 @@ class SRDataset:
             (w // 4, h // 4), Image.BICUBIC), np.uint8)
 
     def sample_batches(self, rng: np.random.Generator, n_steps: int,
-                       g_iter: int, bsz: int):
-        """uint8 stacks: lr (n, g_iter, B, s/4, s/4, 3), hr (n, g_iter, B, s, s, 3)."""
+                       g_iter: int, bsz: int, workers: int = 0):
+        """uint8 stacks: lr (n, g_iter, B, s/4, s/4, 3), hr (n, g_iter, B, s, s, 3).
+
+        ``workers`` > 1 decodes/crops with a thread pool (PIL releases
+        the GIL) — the counterpart of the reference's DataLoader worker
+        processes (resource.worker)."""
         s = self.size
         hr = np.empty((n_steps, g_iter, bsz, s, s, 3), np.uint8)
         lr = np.empty((n_steps, g_iter, bsz, s // 4, s // 4, 3), np.uint8)
         total = len(self)
-        for i in range(n_steps):
-            for g in range(g_iter):
-                for b in range(bsz):
-                    img = self._load(int(rng.integers(0, total)))
-                    crop = self._random_crop(img, rng)
-                    hr[i, g, b] = crop
-                    lr[i, g, b] = self._bicubic_down4(crop)
+        jobs = [(i, g, b, int(rng.integers(0, total)),
+                 rng.integers(0, 2 ** 31, size=3))
+                for i in range(n_steps) for g in range(g_iter)
+                for b in range(bsz)]
+
+        def work(job):
+            i, g, b, idx, seed = job
+            local = np.random.default_rng(seed)
+            crop = self._random_crop(self._load(idx), local)
+            hr[i, g, b] = crop
+            lr[i, g, b] = self._bicubic_down4(crop)
+
+        if workers and workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as pool:
+                list(pool.map(work, jobs))
+        else:
+            for job in jobs:
+                work(job)
         return lr, hr
 
     def iter_eval(self):

@@ -135,10 +135,14 @@ class ImageGeneration(Experiment):
         bsz = self.config.hparam.bsz
         if not hasattr(self, "fixed_z"):
             self.rng, k = jax.random.split(self.rng)
-            z = jax.random.normal(k, (bsz, self.model.Z_DIM))
             if self.bbox:
-                zwm = self.model.transform_latent(self.state, z[: bsz // 2])
-                z = jnp.concatenate([z[: bsz - bsz // 2], zwm], axis=0)
+                # half plain, half the same latents triggered
+                # (reference image_generation.py:117-125)
+                z = jax.random.normal(k, (bsz // 2, self.model.Z_DIM))
+                zwm = self.model.transform_latent(self.state, z)
+                z = jnp.concatenate([z, zwm], axis=0)
+            else:
+                z = jax.random.normal(k, (bsz, self.model.Z_DIM))
             self.fixed_z = z
         img = _postproc(self._gen_eval(self.state, self.fixed_z))
         self.logger.save_images(img, step)

@@ -88,7 +88,8 @@ class ImageSuperResolution(Experiment):
     # -- training ----------------------------------------------------------
     def _produce(self, n: int):
         lr, hr = self.dataset.sample_batches(
-            self._data_rng, n, self.model.g_iter, self.config.hparam.bsz)
+            self._data_rng, n, self.model.g_iter, self.config.hparam.bsz,
+            workers=self.config.resource.get("worker", 0))
         return lr, hr
 
     def _get_loader(self):

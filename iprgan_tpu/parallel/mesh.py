@@ -19,6 +19,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host: initialize the JAX distributed runtime when launched
+    under a coordinator (standard JAX multi-process env vars). Same SPMD
+    program then runs per host, with collectives over ICI within a slice
+    and DCN across hosts — no further code changes needed."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and not getattr(
+            maybe_init_distributed, "_done", False):
+        jax.distributed.initialize()
+        maybe_init_distributed._done = True
+
+
 class ParallelContext:
     """Mesh + sharding helpers for data parallelism.
 
@@ -27,6 +40,7 @@ class ParallelContext:
     """
 
     def __init__(self, n_requested: int = 1, use_accel: bool = True):
+        maybe_init_distributed()
         devices = jax.devices()
         n = min(len(devices), max(1, n_requested)) if use_accel else 1
         self.n = n
