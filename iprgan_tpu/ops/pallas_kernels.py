@@ -29,14 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 from iprgan_tpu.ops.paste import corner_slices
 
 
-def _kernel(x_ref, fg_ref, bg_ref, out_ref, *, y0, x0, s, scale, shift):
-    """out = normalize(x); out[corner] = out[corner]*bg + (1-bg)*fg."""
-    img = x_ref[0].astype(jnp.float32) * scale + shift  # (H, W, C)
-    region = img[y0:y0 + s, x0:x0 + s, :]
+def _kernel(x_ref, fg_ref, bg_ref, out_ref, *, scale, shift):
+    """out = normalize(x) * bg + (1 - bg) * fg, with fg/bg pre-padded to
+    full image size (bg == 1, fg == 0 outside the corner), so the whole
+    composite is one elementwise VPU expression — no slicing primitives
+    (Mosaic lowers neither dynamic_update_slice nor u8->f32 casts; the
+    cast widens via int32)."""
+    img = x_ref[0].astype(jnp.int32).astype(jnp.float32) * scale + shift
     bg = bg_ref[...]
-    blended = region * bg + (1.0 - bg) * fg_ref[...]
-    img = jax.lax.dynamic_update_slice(img, blended, (y0, x0, 0))
-    out_ref[0] = img
+    out_ref[0] = img * bg + (1.0 - bg) * fg_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("position", "normalized"))
@@ -52,24 +53,28 @@ def fused_normalize_paste(x_u8: jax.Array, fg: jax.Array, bg: jax.Array,
     scale = (1.0 / 127.5) if normalized else (1.0 / 255.0)
     shift = -1.0 if normalized else 0.0
 
-    kernel = functools.partial(_kernel, y0=y0, x0=x0, s=s,
-                               scale=scale, shift=shift)
+    # pad the patch to full image size: identity blend outside the corner
+    pad = ((y0, h - s - y0), (x0, w - s - x0), (0, 0))
+    fg_full = jnp.pad(fg, pad)
+    bg_full = jnp.pad(bg, pad, constant_values=1.0)
+
+    kernel = functools.partial(_kernel, scale=scale, shift=shift)
     return pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, c), lambda i: (0, 0, 0),
+            pl.BlockSpec((h, w, c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((h, w, 1), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(x_u8, fg, bg)
+    )(x_u8, fg_full, bg_full)
 
 
 def normalize_paste_reference(x_u8, fg, bg, position="tl",
