@@ -198,8 +198,9 @@ class ImageGeneration(Experiment):
 
         metrics = {}
         for data in cfg.evaluation.data:
-            ds = get_dataset(data["name"], path=data["path"],
-                             size=data["size"])
+            kwargs = {k: v for k, v in data.items() if k != "name"}
+            kwargs.pop("bsz", None)
+            ds = get_dataset(data["name"], **kwargs)
             stats = {"fx": [], "fy": [], "prob": []}
             if self.bbox:
                 stats.update(q=[], p=[], m=[])

@@ -187,8 +187,10 @@ class ImageSuperResolution(Experiment):
 
         metrics = {}
         for data in cfg.evaluation.data:
-            ds = get_dataset(data["name"], path=data["path"],
-                             size=data.get("size", -1))
+            kwargs = {k: v for k, v in data.items() if k != "name"}
+            kwargs.pop("bsz", None)
+            kwargs.setdefault("size", -1)
+            ds = get_dataset(data["name"], **kwargs)
             stats = {"psnr": [], "ssim": []}
             if self.bbox:
                 stats.update(q=[], p=[], m=[])

@@ -189,9 +189,9 @@ class ImageTranslation(Experiment):
 
         metrics = {}
         for data in cfg.evaluation.data:
-            ds = get_dataset(data["name"], path=data["path"],
-                             load=data["load"], crop=data["crop"],
-                             test=True)
+            kwargs = {k: v for k, v in data.items() if k != "name"}
+            kwargs.pop("bsz", None)
+            ds = get_dataset(data["name"], test=True, **kwargs)
             img_dir = os.path.join(img_dir_root, data["name"])
             os.makedirs(img_dir, exist_ok=True)
 
