@@ -23,6 +23,15 @@ from iprgan_tpu.utils import Logger, checkpoint
 from iprgan_tpu.utils.checkpoint import CKPT_NAME, END_SENTINEL
 
 
+def dtype_of(config):
+    """resource.dtype: float32 (default) or bfloat16 compute dtype."""
+    name = config.resource.get("dtype", "float32") \
+        if "resource" in config else "float32"
+    import jax.numpy as jnp
+
+    return {"float32": None, "bfloat16": jnp.bfloat16}[name]
+
+
 class Experiment(ABC):
 
     def __init__(self, config):

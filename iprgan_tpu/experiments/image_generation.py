@@ -23,7 +23,7 @@ import numpy as np
 
 from iprgan_tpu.config import Config
 from iprgan_tpu.data import get_dataset
-from iprgan_tpu.experiments.base import Experiment
+from iprgan_tpu.experiments.base import Experiment, dtype_of
 from iprgan_tpu.ops.pdq import compute_matching_prob
 from iprgan_tpu.ops.ssim import ssim as ssim_fn
 from iprgan_tpu.protection import make_transform
@@ -70,7 +70,7 @@ class ImageGeneration(Experiment):
             protection_config=protection,
             hparam=self.config.hparam.to_dict(),
             image_size=self.config.dataset.size,
-            dtype=_dtype_of(self.config),
+            dtype=dtype_of(self.config),
         )
         self.bbox = self.model.protection.bbox is not None
         self.wbox = self.model.protection.wbox is not None
@@ -278,8 +278,3 @@ class ImageGeneration(Experiment):
             json.dump(metrics, f, indent=2, sort_keys=True)
         return metrics
 
-
-def _dtype_of(config):
-    name = config.resource.get("dtype", "float32") if "resource" in config \
-        else "float32"
-    return {"float32": None, "bfloat16": jnp.bfloat16}[name]

@@ -13,7 +13,6 @@ chunk while the device trains on the current one.
 from __future__ import annotations
 
 import json
-import math
 import os
 from functools import partial
 
@@ -24,7 +23,7 @@ import numpy as np
 from iprgan_tpu.config import Config
 from iprgan_tpu.data import get_dataset
 from iprgan_tpu.data.stream import PrefetchLoader
-from iprgan_tpu.experiments.base import Experiment
+from iprgan_tpu.experiments.base import Experiment, dtype_of
 from iprgan_tpu.ops.pdq import compute_matching_prob
 from iprgan_tpu.ops.quality import psnr_uint8, rgb_to_luma_uint8, ssim_uint8
 from iprgan_tpu.ops.ssim import ssim as ssim_fn
@@ -64,6 +63,7 @@ class ImageSuperResolution(Experiment):
             protection_config=protection,
             hparam=self.config.hparam.to_dict(),
             image_size=self.config.dataset.size,
+            dtype=dtype_of(self.config),
         )
         self.bbox = self.model.protection.bbox is not None
         self.wbox = self.model.protection.wbox is not None

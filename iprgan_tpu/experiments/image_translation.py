@@ -22,7 +22,7 @@ import numpy as np
 from iprgan_tpu.config import Config
 from iprgan_tpu.data import get_dataset
 from iprgan_tpu.data.stream import PrefetchLoader
-from iprgan_tpu.experiments.base import Experiment
+from iprgan_tpu.experiments.base import Experiment, dtype_of
 from iprgan_tpu.ops.pdq import compute_matching_prob
 from iprgan_tpu.ops.ssim import ssim as ssim_fn
 from iprgan_tpu.protection import make_transform
@@ -78,6 +78,7 @@ class ImageTranslation(Experiment):
             protection_config=protection,
             hparam=self.config.hparam.to_dict(),
             image_size=self.config.dataset.crop,
+            dtype=dtype_of(self.config),
         )
         self.bbox = self.model.protection.bbox is not None
         self.wbox = self.model.protection.wbox is not None
