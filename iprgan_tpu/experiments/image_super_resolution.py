@@ -97,6 +97,20 @@ class ImageSuperResolution(Experiment):
             self._loader = PrefetchLoader(self._produce)
         return self._loader
 
+    def _fetch(self, n: int):
+        """Get an n-step chunk, keeping one same-size chunk in flight so
+        the host data pipeline overlaps device compute."""
+        loader = self._get_loader()
+        if getattr(self, "_pending", None) is None:
+            loader.request(n)
+        elif self._pending != n:
+            loader.get()  # drain a stale speculative chunk
+            loader.request(n)
+        data = loader.get()
+        loader.request(n)  # speculate the next chunk
+        self._pending = n
+        return data
+
     def _chunk_fn(self, n: int, phase: str):
         key = (n, phase)
         if key in self._chunk_fns:
@@ -133,9 +147,7 @@ class ImageSuperResolution(Experiment):
                 n = min(n, boundary - step + 1)
         phase = "pre" if step <= pre else "gan"
 
-        loader = self._get_loader()
-        loader.request(n)
-        lr, hr = loader.get()
+        lr, hr = self._fetch(n)
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._chunk_fn(n, phase)(
             self.state, self.pctx.shard_batch(lr, axis=2),

@@ -110,6 +110,20 @@ class ImageTranslation(Experiment):
             self._loader = PrefetchLoader(self._produce)
         return self._loader
 
+    def _fetch(self, n: int):
+        """Get an n-step chunk, keeping one same-size chunk in flight so
+        the host data pipeline overlaps device compute."""
+        loader = self._get_loader()
+        if getattr(self, "_pending", None) is None:
+            loader.request(n)
+        elif self._pending != n:
+            loader.get()  # drain a stale speculative chunk
+            loader.request(n)
+        data = loader.get()
+        loader.request(n)  # speculate the next chunk
+        self._pending = n
+        return data
+
     def _chunk_fn(self, n: int):
         if n in self._chunk_fns:
             return self._chunk_fns[n]
@@ -135,9 +149,7 @@ class ImageTranslation(Experiment):
         return chunk
 
     def train_chunk(self, n: int):
-        loader = self._get_loader()
-        loader.request(n)
-        a, b = loader.get()
+        a, b = self._fetch(n)
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._chunk_fn(n)(
             self.state, self.pctx.shard_batch(a, axis=2),
