@@ -231,11 +231,15 @@ class ImageGeneration(Experiment):
                     stats["p"].append(p)
                     stats["m"].append(p < cfg.evaluation.p_thres)
 
-                fx, px = inception(x)
-                fy, _ = inception(y)
-                stats["fx"].append(np.asarray(fx))
-                stats["fy"].append(np.asarray(fy))
-                stats["prob"].append(np.asarray(px))
+                # one fused Inception pass over [generated; real]
+                # (inference-mode BN, so concatenation is value-identical
+                # to two calls and halves the dispatch round-trips)
+                n_x = x.shape[0]
+                feats, probs = inception(jnp.concatenate([x, y], axis=0))
+                feats = np.asarray(feats)
+                stats["fx"].append(feats[:n_x])
+                stats["fy"].append(feats[n_x:])
+                stats["prob"].append(np.asarray(probs)[:n_x])
                 if bi + 1 >= n_batches:
                     break
 
