@@ -156,13 +156,37 @@ def _to_uint8(img01: np.ndarray) -> np.ndarray:
     return (np.clip(img01, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
-def _bicubic_resize(img01: np.ndarray, size) -> np.ndarray:
-    from PIL import Image
+def _cubic_weights(n_out: int, n_in: int, a: float = -0.75):
+    """Row-stochastic bicubic interpolation matrix (n_out, n_in) with
+    torch's kernel (a=-0.75) and align_corners=False sampling."""
+    scale = n_in / n_out
+    src = (np.arange(n_out) + 0.5) * scale - 0.5
+    base = np.floor(src).astype(int)
+    t = (src - base)[:, None]  # fractional offset
+    offs = np.arange(-1, 3)[None, :]
+    x = np.abs(offs - t)  # distance of each tap
+    x2, x3 = x * x, x ** 3
+    w = np.where(
+        x <= 1, (a + 2) * x3 - (a + 3) * x2 + 1,
+        np.where(x < 2, a * x3 - 5 * a * x2 + 8 * a * x - 4 * a, 0.0))
+    idx = np.clip(base[:, None] + offs, 0, n_in - 1)
+    mat = np.zeros((n_out, n_in))
+    np.add.at(mat, (np.repeat(np.arange(n_out), 4), idx.ravel()), w.ravel())
+    return mat / mat.sum(axis=1, keepdims=True)
 
-    h, w = size
-    u8 = _to_uint8(img01)
-    return np.asarray(
-        Image.fromarray(u8).resize((w, h), Image.BICUBIC), np.uint8)
+
+def _bicubic_resize_batch(imgs01: np.ndarray, size) -> np.ndarray:
+    """Vectorized separable bicubic for (N, H, W, C) float [0,1] ->
+    (N, nh, nw, C) uint8; matches torch F.interpolate(mode='bicubic',
+    align_corners=False) up to clamping — the reference upscale path
+    (tools/phash_pvalue.py:24-29)."""
+    nh, nw = size
+    n, h, w, c = imgs01.shape
+    wh = _cubic_weights(nh, h)
+    ww = _cubic_weights(nw, w)
+    out = np.einsum("oh,nhwc->nowc", wh, imgs01, optimize=True)
+    out = np.einsum("pw,nowc->nopc", ww, out, optimize=True)
+    return _to_uint8(out)
 
 
 def compute_matching_prob(img1_01: np.ndarray, img2_01: np.ndarray,
@@ -178,8 +202,8 @@ def compute_matching_prob(img1_01: np.ndarray, img2_01: np.ndarray,
     k = min(h, w)
     if k < min_size:
         nh, nw = int(h * min_size / k), int(w * min_size / k)
-        a = np.stack([_bicubic_resize(im, (nh, nw)) for im in img1_01])
-        b = np.stack([_bicubic_resize(im, (nh, nw)) for im in img2_01])
+        a = _bicubic_resize_batch(np.asarray(img1_01, np.float64), (nh, nw))
+        b = _bicubic_resize_batch(np.asarray(img2_01, np.float64), (nh, nw))
     else:
         a = _to_uint8(img1_01)
         b = _to_uint8(img2_01)
