@@ -51,14 +51,19 @@ def _ssim_per_channel(x, y, data_range, win_size, sigma):
     c1 = (K1 * data_range) ** 2
     c2 = (K2 * data_range) ** 2
 
-    mu1 = _blur(x, win)
-    mu2 = _blur(y, win)
+    # one fused depthwise blur over the 5 statistics maps (x, y, xx, yy,
+    # xy stacked on channels) instead of 5 separate filter calls
+    stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
+    blurred = _blur(stacked, win)
+    c = x.shape[-1]
+    mu1 = blurred[..., 0 * c:1 * c]
+    mu2 = blurred[..., 1 * c:2 * c]
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _blur(x * x, win) - mu1_sq
-    sigma2_sq = _blur(y * y, win) - mu2_sq
-    sigma12 = _blur(x * y, win) - mu1_mu2
+    sigma1_sq = blurred[..., 2 * c:3 * c] - mu1_sq
+    sigma2_sq = blurred[..., 3 * c:4 * c] - mu2_sq
+    sigma12 = blurred[..., 4 * c:5 * c] - mu1_mu2
 
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
