@@ -74,3 +74,74 @@ def test_tiny_images_upscaled():
     a = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
     p = pdq.compute_matching_prob(a, a, min_size=32)
     assert np.all(p < 1e-30)  # identical after identical upscaling
+
+
+# ---------------------------------------------------------------------------
+# Golden-hash regression: freezes current PDQ numerics so any drift in
+# iprgan_tpu/ops/pdq.py or native/pdq/pdq.cc fails loudly. The hashes
+# feed ownership p-values (reference tools/phash_pvalue.py:19-38), so
+# silent shifts would corrupt every claimed verification number.
+# Inputs are numpy-only deterministic smooth images (low-frequency
+# Fourier mixes) chosen so every DCT coefficient is >=1e-4 away from the
+# median -- no floating-point tie-break sensitivity (degenerate images
+# like pure gradients have exactly-zero coefficient clusters and flip
+# dozens of bits between equally-correct implementations).
+# ---------------------------------------------------------------------------
+
+GOLDEN_HASHES_HEX = [
+    "2baa0fffd5553040c1a82d72ce472d27c7ca21d9c2782f7ece1d2f48c0a2aade",
+    "aaaa4fff3000e00819f3cd5f1552c6741eeec4771a9d4cf410a29abb1cbbcc5d",
+    "d5540ffb328aaaaa545fc46e55a0ce485745ca5a51cb41555a28c6b5599adfea",
+    "555df0084abff0000eebbee40f67b2b801aa9b8701edb4c50d2fb9a80cd6f5fa",
+    "155dd555aaaa8fff73f554093007503a79dc51507aa85bd43507559c3a9173a3",
+    "b0082aaa0fff0ffff010f481f3ecfc01f428fdaaf010f104f4d9ba1bfd389442",
+    "8ffb600455550ffdf001a9c1f8d3aca1f6ae2017f18ca0d4ba7c2ed0a457369f",
+    "0fff9555b0007004880c4a678fff4c5f897b4bb007434851814f4bdf9adf47df",
+]
+
+
+def _golden_images():
+    """8 deterministic smooth 96x96 RGB images (low-freq Fourier mix)."""
+    rng = np.random.default_rng(20260816)
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float64) / 96.0
+    imgs = []
+    for _ in range(8):
+        coef = rng.normal(size=(5, 5, 3))
+        im = np.zeros((96, 96, 3))
+        for p in range(5):
+            for q in range(5):
+                basis = np.cos(np.pi * p * yy) * np.cos(np.pi * q * xx)
+                im += coef[p, q] * basis[..., None]
+        lo, hi = im.min(), im.max()
+        imgs.append((im - lo) / (hi - lo) * 255.0)
+    return np.stack(imgs).astype(np.uint8)
+
+
+def _hex(bits_row):
+    return "".join(
+        f"{int(''.join(str(int(b)) for b in bits_row[i:i + 8]), 2):02x}"
+        for i in range(0, 256, 8))
+
+
+def test_golden_hashes_numpy():
+    h = pdq.compute_hash(_golden_images(), use_native=False)
+    assert [_hex(row) for row in h] == GOLDEN_HASHES_HEX
+
+
+def test_golden_hashes_native():
+    if pdq._load_native() is False:
+        pytest.skip("native PDQ not built")
+    h = pdq.compute_hash(_golden_images(), use_native=True)
+    assert [_hex(row) for row in h] == GOLDEN_HASHES_HEX
+
+
+def test_golden_pvalue():
+    imgs = _golden_images()
+    a = imgs[:2].astype(np.float64) / 255.0
+    # +5 brightness shift: DC-only change, and PDQ excludes the DC
+    # coefficient -- hash is invariant, p-value underflows to 0.
+    shifted = np.clip(imgs[0].astype(int) + 5, 0, 255) / 255.0
+    b = np.stack([shifted, imgs[2].astype(np.float64) / 255.0])
+    p = pdq.compute_matching_prob(a, b)
+    assert p[0] == 0.0
+    np.testing.assert_allclose(p[1], 3.54063697e-03, rtol=1e-5)
