@@ -6,6 +6,13 @@ Supported:
                -> FID InceptionV3 variables (for evaluation.inception_weights)
   vgg19      — torchvision ``vgg19-*.pth`` -> VGG19Feature variables
                (for model.V_weights / $IPRGAN_VGG19_WEIGHTS)
+  fcn8s      — published torch FCN-8s checkpoints in the
+               wkentaro/pytorch-fcn layout (conv1_1..conv5_3 / fc6 / fc7 /
+               score_fr / score_pool3 / score_pool4 / upscore2 /
+               upscore_pool4 / upscore8) -> scripts/run_fcn.py --weights.
+               Replaces the reference's Caffe FCN-8s download
+               (reference scripts/run.py:16-20); the target flax module
+               mirrors the deploy.prototxt geometry.
 
 The .npz holds a pickled variables pytree under key 'variables'.
 
@@ -23,8 +30,33 @@ def save_npz(path, variables):
     np.savez_compressed(path, variables=blob)
 
 
+def convert_fcn8s_state_dict(sd):
+    """wkentaro/pytorch-fcn FCN8s state dict -> flax variables for
+    scripts/run_fcn.build_fcn8s. Plain convs map (cin,cout last) via
+    transpose(2,3,1,0); the bias-free transposed convs additionally flip
+    spatially because torch's ConvTranspose2d is the conv gradient while
+    flax's ConvTranspose correlates the kernel over the dilated input
+    (mapping verified numerically in tests/test_fcn8s.py)."""
+    upscores = {"upscore2", "upscore_pool4", "upscore8"}
+    params = {}
+    for key in sd:
+        name, leaf = key.rsplit(".", 1)
+        if leaf not in ("weight", "bias"):
+            continue  # fcn variants carry no buffers; ignore extras
+        entry = params.setdefault(name, {})
+        if leaf == "bias":
+            entry["bias"] = sd[key]
+        elif name in upscores:
+            entry["kernel"] = np.ascontiguousarray(
+                sd[key].transpose(2, 3, 0, 1)[::-1, ::-1])
+        else:
+            entry["kernel"] = sd[key].transpose(2, 3, 1, 0)
+    return {"params": params}
+
+
 def main():
-    if len(sys.argv) != 4 or sys.argv[1] not in ("inception", "vgg19"):
+    if len(sys.argv) != 4 or sys.argv[1] not in ("inception", "vgg19",
+                                                 "fcn8s"):
         sys.exit(__doc__)
     kind, src, dst = sys.argv[1:]
 
@@ -39,6 +71,8 @@ def main():
         from iprgan_tpu.networks.inception import convert_torch_state_dict
 
         variables = convert_torch_state_dict(sd)
+    elif kind == "fcn8s":
+        variables = convert_fcn8s_state_dict(sd)
     else:
         conv_ids = sorted(
             {int(k.split(".")[1]) for k in sd if k.startswith("features.")})
