@@ -20,14 +20,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_init_distributed() -> None:
-    """Multi-host: initialize the JAX distributed runtime when launched
-    under a coordinator (standard JAX multi-process env vars). Same SPMD
-    program then runs per host, with collectives over ICI within a slice
-    and DCN across hosts — no further code changes needed."""
+    """Multi-host: initialize the JAX distributed runtime when this
+    process is one rank of a multi-process launch. The same SPMD program
+    then runs per host, with collectives over ICI within a slice and DCN
+    across hosts — no further code changes needed.
+
+    Contract (tested in tests/test_multihost.py with a real 2-process
+    CPU launch):
+    * explicit launch: set IPRGAN_COORDINATOR (host:port),
+      IPRGAN_NUM_PROCESSES, IPRGAN_PROCESS_ID on every rank — these map
+      1:1 onto ``jax.distributed.initialize`` arguments;
+    * scheduler launch: under Slurm / Open MPI / multi-host Cloud TPU,
+      argument-less ``initialize()`` auto-detects via jax's cluster
+      plugins (SLURM_NTASKS / OMPI_COMM_WORLD_SIZE / TPU metadata).
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and not getattr(
-            maybe_init_distributed, "_done", False):
+    if getattr(maybe_init_distributed, "_done", False):
+        return
+    env = os.environ
+    addr = env.get("IPRGAN_COORDINATOR")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(env["IPRGAN_NUM_PROCESSES"]),
+            process_id=int(env["IPRGAN_PROCESS_ID"]))
+        maybe_init_distributed._done = True
+    elif int(env.get("SLURM_NTASKS", "1")) > 1 or \
+            int(env.get("OMPI_COMM_WORLD_SIZE", "1")) > 1:
         jax.distributed.initialize()
         maybe_init_distributed._done = True
 
