@@ -13,6 +13,21 @@ from scipy import linalg
 from scipy.stats import entropy
 
 
+def _sqrtm_quiet(m: np.ndarray) -> np.ndarray:
+    """Matrix square root on the reference's quiet fallback path
+    (experiments/util.py:81 uses disp=False): near-singular eval
+    covariances are expected — the caller's finite-check + eps retry is
+    the real guard, so scipy's LinAlgWarning chatter is suppressed.
+    Handles both old scipy (tuple return with disp=False) and new scipy
+    (disp removed, warns instead)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = linalg.sqrtm(m)
+    return out[0] if isinstance(out, tuple) else out
+
+
 def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
     """FID between two Gaussians:
     d^2 = ||mu1 - mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)).
@@ -27,10 +42,10 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
 
     diff = mu1 - mu2
 
-    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    covmean = _sqrtm_quiet(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+        covmean = _sqrtm_quiet((sigma1 + offset).dot(sigma2 + offset))
 
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
