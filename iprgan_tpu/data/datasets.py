@@ -91,26 +91,53 @@ def cifar10(path: str, size: int = 32, **_):
     return ArrayDataset(_resize_batch(images, size), "cifar10")
 
 
+def _cub_metadata_files(root: str):
+    """File list in reference order (datasets/img_datasets.py:75-165 +
+    train/test concatenation): images.txt gives img_id -> relpath,
+    train_test_split.txt partitions; the concatenated dataset is all
+    training images (in images.txt order) followed by all test images."""
+    img_txt = os.path.join(root, "images.txt")
+    split_txt = os.path.join(root, "train_test_split.txt")
+    if not (os.path.exists(img_txt) and os.path.exists(split_txt)):
+        return None
+    paths = {}
+    for line in open(img_txt):
+        img_id, rel = line.split()
+        paths[img_id] = rel
+    train, test = [], []
+    for line in open(split_txt):
+        img_id, is_train = line.split()
+        (train if int(is_train) else test).append(
+            os.path.join(root, "images", paths[img_id]))
+    return train + test
+
+
 @DATASETS.register("cub200")
 def cub200(path: str, size: int = 32, **_):
     """CUB-200-2011 train+test (reference datasets/img_datasets.py:42-73):
-    resize shorter side then center crop. Cached as npy after first load."""
+    resize shorter side then center crop. Cached as npy after first load.
+    Reads the metadata CSVs (images.txt / train_test_split.txt) for
+    reference file ordering, falling back to a sorted folder walk when
+    the metadata is absent."""
     cache = os.path.join(path, f"cub200_{size}.npy")
     if os.path.exists(cache):
         return ArrayDataset(np.load(cache), "cub200")
 
-    img_root = os.path.join(path, "CUB_200_2011", "images")
+    root = os.path.join(path, "CUB_200_2011")
+    img_root = os.path.join(root, "images")
     if not os.path.isdir(img_root):
         raise FileNotFoundError(
             f"CUB-200-2011 not found at {img_root} (no network egress; "
             "provide the extracted dataset or use 'synthetic').")
     from PIL import Image
 
-    files = []
-    for dirpath, _, fnames in os.walk(img_root):
-        files += [os.path.join(dirpath, f) for f in fnames
-                  if f.lower().endswith((".jpg", ".jpeg", ".png"))]
-    files.sort()
+    files = _cub_metadata_files(root)
+    if files is None:
+        files = []
+        for dirpath, _, fnames in os.walk(img_root):
+            files += [os.path.join(dirpath, f) for f in fnames
+                      if f.lower().endswith((".jpg", ".jpeg", ".png"))]
+        files.sort()
     out = np.empty((len(files), size, size, 3), np.uint8)
     for i, fp in enumerate(files):
         img = Image.open(fp).convert("RGB")
