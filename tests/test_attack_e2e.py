@@ -69,3 +69,83 @@ def test_attack_overwrite_e2e(tmp_path):
     assert "fn_inp" in sd and "fn_out" in sd
     metrics = json.load(open(os.path.join(config.log.path, "metrics.json")))
     assert "BBOX" in metrics["synthetic"]
+
+
+# ---------------------------------------------------------------------------
+# CycleGAN: the ^G / ^D regex surgery is most at risk on the multi-key
+# schema (GA/GB/DA/DB/optG/optD/schG/schD/poolA/poolB) — reference
+# attack.py:50-61 semantics.
+# ---------------------------------------------------------------------------
+
+def _train_cg_victim(tmp_path):
+    from iprgan_tpu.experiments import get_experiment
+    from tests.test_cyclegan_train import make_cg_config
+
+    config = make_cg_config(tmp_path, epochs=2)
+    exp = get_experiment(config.experiment)(config)
+    exp.start()
+    return config
+
+
+def test_attack_restore_semantics_cyclegan(tmp_path):
+    """The attack's key-filtered restore: GA+GB come from the victim,
+    DA/DB stay fresh (no -d), pools/schedulers/optimizers reset."""
+    import attack
+    import jax
+    import numpy as np
+    from iprgan_tpu.experiments import get_experiment
+
+    config = _train_cg_victim(tmp_path)
+    victim = ckpt.load(os.path.join(config.log.path, ckpt.CKPT_NAME))
+    assert {"GA", "GB", "DA", "DB", "optG", "optD", "schG", "schD",
+            "poolA", "poolB", "fn_inp", "fn_out", "sign",
+            "step"} <= set(victim)
+
+    alt = attack.update_finetune_config(config.copy(),
+                                        load_discriminator=False)
+    exp = get_experiment(alt.experiment)(alt)
+    restored = {"step": 0}
+    import re
+    for key in victim:
+        if re.match(r"G", key):
+            restored[key] = victim[key]
+    exp.load_state_dict(restored, strict=False)
+
+    state = jax.device_get(exp.state)
+    for g in ("GA", "GB"):
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                victim[g]["params"])[:3]:
+            pass
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(state[g]["params"])[0]),
+            np.asarray(jax.tree_util.tree_leaves(victim[g]["params"])[0]))
+    # D fresh: victim trained DA differs from the attack's re-init
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state["DA"]["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(victim["DA"]["params"])[0]))
+    # pools and schedulers reset
+    assert int(state["poolA"]["counts"]) == 0
+    assert int(state["poolB"]["counts"]) == 0
+    assert int(state["schG"]["last_epoch"]) == 0
+    assert int(state["step"]) == 0
+
+
+def test_attack_finetune_e2e_cyclegan(tmp_path):
+    """Full finetune attack through attack.main on CycleGAN, ending in
+    the owner's verification on the attacked weights."""
+    import attack
+
+    config = _train_cg_victim(tmp_path)
+    args = argparse.Namespace(mode="finetune", load_discriminator=False,
+                              watermark=None, log=config.log.path)
+    attack.main(config.copy(), args)
+
+    ft_log = os.path.abspath(config.log.path) + "-ND-FT"
+    assert os.path.exists(os.path.join(ft_log, "config.yaml"))
+
+    sd = ckpt.load(os.path.join(config.log.path, ckpt.CKPT_NAME))
+    assert "GA" in sd and "GB" in sd and "sign" in sd
+
+    metrics = json.load(open(os.path.join(config.log.path, "metrics.json")))
+    entry = metrics["unaligned_synthetic"]
+    assert "WBOX" in entry and "BBOX" in entry

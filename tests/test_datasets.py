@@ -102,3 +102,57 @@ def test_cityscapes_loader(tmp_path):
                           crop=128, test=True)
     a0, b0 = next(iter(ds_test.iter_eval()))
     assert a0.shape == (1, 128, 128, 3)
+
+
+def test_device_bicubic_down4_matches_pil():
+    """ops/resize.bicubic_down4 (the in-chunk LR producer) reproduces the
+    reference's PIL bicubic 1/4 (datasets/sr_datasets.py:7-42) within one
+    uint8 level (PIL rounds to uint8 per pass; we stay float32)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from iprgan_tpu.ops.resize import bicubic_down4
+
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    hr = np.asarray(Image.fromarray(small).resize((96, 96), Image.BILINEAR))
+
+    ref = np.asarray(Image.fromarray(hr).resize((24, 24), Image.BICUBIC),
+                     np.float64)
+    out = np.asarray(bicubic_down4(
+        jnp.asarray(hr, jnp.float32)[None])[0]).astype(np.float64)
+    assert out.shape == (24, 24, 3)
+    assert np.max(np.abs(out - ref)) <= 1.0 + 1e-3
+
+
+def test_cub200_metadata_split_order(tmp_path):
+    """cub200 honors images.txt + train_test_split.txt: train images (in
+    images.txt order) then test images (reference img_datasets.py:75-165
+    + train/test concat)."""
+    from PIL import Image
+
+    from iprgan_tpu.data.datasets import cub200
+
+    root = tmp_path / "CUB_200_2011"
+    (root / "images" / "001.sp").mkdir(parents=True)
+    # 4 images with distinct solid colors to track ordering
+    colors = {"a": 10, "b": 60, "c": 120, "d": 200}
+    for name, v in colors.items():
+        Image.fromarray(np.full((20, 20, 3), v, np.uint8)).save(
+            root / "images" / "001.sp" / f"{name}.jpg")
+    (root / "images.txt").write_text(
+        "1 001.sp/c.jpg\n2 001.sp/a.jpg\n3 001.sp/d.jpg\n4 001.sp/b.jpg\n")
+    # train: ids 2, 3 (a, d); test: ids 1, 4 (c, b)
+    (root / "train_test_split.txt").write_text(
+        "1 0\n2 1\n3 1\n4 0\n")
+
+    ds = cub200(str(tmp_path), size=8)
+    got = [int(im[4, 4, 0]) for im in ds.images]
+    # jpeg is lossy: match to the nearest color
+    keys = list(colors)
+    order = [min(keys, key=lambda k: abs(colors[k] - g)) for g in got]
+    assert order == ["a", "d", "c", "b"]
+
+    # second load hits the npy cache with identical content
+    ds2 = cub200(str(tmp_path), size=8)
+    np.testing.assert_array_equal(ds.images, ds2.images)
