@@ -23,7 +23,40 @@ BSZ = 64
 CHUNK = 200
 
 
-def bench_jax(dtype=None) -> float:
+def _time_chunk(chunk, state, data, fence_key, chunk_steps, n_chunks=2):
+    """Compile+warm a scan chunk, then time n_chunks calls. Synchronize
+    by fetching a scalar — on the axon tunnel platform block_until_ready
+    does not actually block, so all timing must be fenced with value
+    fetches. Returns (steps_per_sec, flops_per_step)."""
+    import jax
+
+    from iprgan_tpu.utils.flops import compiled_flops
+
+    rng = jax.random.PRNGKey(1)
+    state, metrics = chunk(state, data, rng)
+    _ = float(metrics[fence_key][-1])
+    # XLA cost analysis counts a while/scan body ONCE regardless of trip
+    # count (verified: flops of an n-step scan is n-independent), so the
+    # chunk's reported flops already equal one step (+ negligible outer
+    # ops) — no division by chunk_steps.
+    flops_per_step = compiled_flops(chunk, state, data, rng)
+
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        rng, k = jax.random.split(rng)
+        state, metrics = chunk(state, data, k)
+    sync = float(metrics[fence_key][-1])  # fences the whole timed region
+    dt = time.perf_counter() - t0
+    assert "nan" not in str(sync)
+    sps = n_chunks * chunk_steps / dt
+    return sps, flops_per_step
+
+
+def bench_jax(dtype=None, protection="complete"):
+    """Time the DCGAN chunk. ``protection``: 'complete' (bbox+wbox, the
+    headline), 'baseline' (none), 'bbox'/'wbox' only, or 'bbox_l1'
+    (bbox with l1 instead of SSIM) — the ablation set behind the
+    time-sink breakdown in README."""
     import jax
 
     jax.config.update(
@@ -37,8 +70,18 @@ def bench_jax(dtype=None) -> float:
     from iprgan_tpu.registry import MODELS
 
     config = _dcgan_config(1, BSZ, "/tmp/iprgan_bench_log")
+    prot = config.protection
+    if protection == "baseline":
+        prot = None
+    elif protection == "bbox":
+        prot["wbox"] = None
+    elif protection == "wbox":
+        prot["bbox"] = None
+    elif protection == "bbox_l1":
+        prot["wbox"] = None
+        prot["bbox"]["loss_fn"] = "l1"
     model = MODELS("DCGAN")(
-        config.model, protection_config=config.protection,
+        config.model, protection_config=prot,
         hparam={}, image_size=32, dtype=dtype)
     state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
     data = jnp.asarray(get_dataset("synthetic", size=32).images)
@@ -54,22 +97,78 @@ def bench_jax(dtype=None) -> float:
 
         return jax.lax.scan(body, state, jax.random.split(rng, CHUNK))
 
-    rng = jax.random.PRNGKey(1)
-    # warmup / compile; synchronize by fetching a scalar — on the axon
-    # tunnel platform block_until_ready does not actually block, so all
-    # timing must be fenced with value fetches.
-    state, metrics = chunk(state, data, rng)
-    _ = float(metrics["G/Sum"][-1])
+    return _time_chunk(chunk, state, data, "G/Sum", CHUNK)
 
-    n_chunks = 2
-    t0 = time.perf_counter()
-    for i in range(n_chunks):
-        rng, k = jax.random.split(rng)
-        state, metrics = chunk(state, data, k)
-    sync = float(metrics["G/Sum"][-1])  # fences the whole timed region
-    dt = time.perf_counter() - t0
-    assert "nan" not in str(sync)
-    return n_chunks * CHUNK / dt
+
+def bench_srgan(chunk_steps: int = 50):
+    """Reference SRGAN workload: 96px HR / 24px LR, bsz 16, GAN phase
+    (SRResNet + Discriminator96 + VGG19 perceptual + bbox/wbox)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iprgan_tpu.config import Config
+    import iprgan_tpu.models  # noqa: F401
+    from iprgan_tpu.registry import MODELS
+    from __graft_entry__ import _dcgan_config
+
+    prot = _dcgan_config(1, 1, "/tmp/iprgan_bench_log").protection
+    prot["bbox"]["fn_inp"] = Config({"type": "RandomNoisePatch", "size": 6})
+    prot["bbox"]["fn_out"]["size"] = 48
+    model = MODELS("SRGAN")(
+        Config({"G": "SRResNet", "D": "Discriminator96",
+                "V": "VGG19Feature", "opt": "Adam",
+                "opt_param": {"lr": 1e-4}}),
+        protection_config=prot,
+        hparam={"pretrain_iter": 0, "iteration": 10 ** 6}, image_size=96)
+    state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
+    rng_d = jax.random.PRNGKey(2)
+    data = {"lr": jax.random.uniform(rng_d, (1, 16, 24, 24, 3)),
+            "hr": jax.random.uniform(rng_d, (1, 16, 96, 96, 3))}
+
+    @jax.jit
+    def chunk(state, batch, rng):
+        def body(state, key):
+            return model.train_step_gan(state, batch, key)
+
+        return jax.lax.scan(body, state, jax.random.split(rng, chunk_steps))
+
+    return _time_chunk(chunk, state, data, "G/Sum", chunk_steps)
+
+
+def bench_cyclegan(chunk_steps: int = 20):
+    """Reference CycleGAN workload: 128px crops, bsz 1, Resnet9Blocks +
+    PatchGAN + pools + bbox/wbox."""
+    import jax
+    import jax.numpy as jnp
+
+    from iprgan_tpu.config import Config
+    import iprgan_tpu.models  # noqa: F401
+    from iprgan_tpu.registry import MODELS
+    from __graft_entry__ import _dcgan_config
+
+    prot = _dcgan_config(1, 1, "/tmp/iprgan_bench_log").protection
+    prot["bbox"]["fn_inp"] = Config({"type": "RandomNoisePatch",
+                                     "size": 32})
+    prot["bbox"]["fn_out"]["size"] = 32
+    model = MODELS("CycleGAN")(
+        Config({"G": "Resnet9Blocks", "D": "ConvDiscriminator",
+                "lambda_A": 10.0, "lambda_B": 10.0, "lambda_idt": 0.5,
+                "pool_size": 50, "opt": "Adam",
+                "opt_param": {"lr": 2e-4, "betas": [0.5, 0.999]}}),
+        protection_config=prot, hparam={}, image_size=128)
+    state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
+    k = jax.random.PRNGKey(2)
+    data = {"real_A": jax.random.uniform(k, (1, 1, 128, 128, 3)) * 2 - 1,
+            "real_B": jax.random.uniform(k, (1, 1, 128, 128, 3)) * 2 - 1}
+
+    @jax.jit
+    def chunk(state, batch, rng):
+        def body(state, key):
+            return model.train_step(state, batch, key)
+
+        return jax.lax.scan(body, state, jax.random.split(rng, chunk_steps))
+
+    return _time_chunk(chunk, state, data, "G/Sum", chunk_steps)
 
 
 def bench_torch_cpu(n_steps: int = 6) -> float:
@@ -167,15 +266,34 @@ def bench_torch_cpu(n_steps: int = 6) -> float:
 
 def main():
     with contextlib.redirect_stdout(sys.stderr):
-        jax_sps = bench_jax()
-        print(f"jax f32 steps/s: {jax_sps:.2f}", file=sys.stderr)
+        from iprgan_tpu.utils.flops import chip_peak_flops, mfu
+
+        peak = chip_peak_flops()
+        jax_sps, flops_step = bench_jax()
+        print(f"jax f32 steps/s: {jax_sps:.2f} "
+              f"flops/step: {flops_step}", file=sys.stderr)
         try:
             import jax.numpy as jnp
-            bf16_sps = bench_jax(dtype=jnp.bfloat16)
+            bf16_sps, _ = bench_jax(dtype=jnp.bfloat16)
             print(f"jax bf16 steps/s: {bf16_sps:.2f}", file=sys.stderr)
         except Exception as e:
             print(f"bf16 variant failed: {e}", file=sys.stderr)
             bf16_sps = None
+        workloads = {}
+        for name, fn in (("srgan_96px_bsz16_gan_phase", bench_srgan),
+                         ("cyclegan_128px_bsz1", bench_cyclegan)):
+            try:
+                sps, fps = fn()
+                workloads[name] = {
+                    "steps_per_sec": round(sps, 2),
+                    "flops_per_step": fps,
+                    "mfu": round(mfu(fps, sps, peak), 4)
+                    if mfu(fps, sps, peak) else None,
+                }
+                print(f"{name}: {workloads[name]}", file=sys.stderr)
+            except Exception as e:
+                print(f"{name} failed: {e}", file=sys.stderr)
+                workloads[name] = None
         try:
             torch_sps = bench_torch_cpu()
             print(f"torch-cpu steps/s: {torch_sps:.2f}", file=sys.stderr)
@@ -183,6 +301,7 @@ def main():
             print(f"torch baseline failed: {e}", file=sys.stderr)
             torch_sps = None
 
+    dcgan_mfu = mfu(flops_step, jax_sps, peak)
     result = {
         "metric": "dcgan_cifar10_complete_train_steps_per_sec",
         "value": round(jax_sps, 2),
@@ -192,6 +311,12 @@ def main():
                     f"({round(torch_sps, 2) if torch_sps else 'n/a'} steps/s)",
         "workload": f"DCGAN-32px bsz={BSZ} bbox(SSIM)+wbox(sign) complete, f32",
         "bf16_steps_per_sec": round(bf16_sps, 2) if bf16_sps else None,
+        # MFU: XLA-counted FLOPs/step * steps/s / chip peak (bf16 peak;
+        # see iprgan_tpu/utils/flops.py).
+        "flops_per_step": flops_step,
+        "chip_peak_flops": peak,
+        "mfu": round(dcgan_mfu, 4) if dcgan_mfu else None,
+        "workloads": workloads,
     }
     print(json.dumps(result))
 

@@ -60,15 +60,20 @@ class SRDataset:
             (w // 4, h // 4), Image.BICUBIC), np.uint8)
 
     def sample_batches(self, rng: np.random.Generator, n_steps: int,
-                       g_iter: int, bsz: int, workers: int = 0):
+                       g_iter: int, bsz: int, workers: int = 0,
+                       hr_only: bool = False):
         """uint8 stacks: lr (n, g_iter, B, s/4, s/4, 3), hr (n, g_iter, B, s, s, 3).
 
         ``workers`` > 1 decodes/crops with a thread pool (PIL releases
         the GIL) — the counterpart of the reference's DataLoader worker
-        processes (resource.worker)."""
+        processes (resource.worker). With ``hr_only`` the host skips the
+        PIL bicubic 1/4 (returns ``lr=None``): the train path computes
+        LR inside the compiled chunk instead (ops/resize.bicubic_down4),
+        leaving only decode+crop on the host."""
         s = self.size
         hr = np.empty((n_steps, g_iter, bsz, s, s, 3), np.uint8)
-        lr = np.empty((n_steps, g_iter, bsz, s // 4, s // 4, 3), np.uint8)
+        lr = (None if hr_only else
+              np.empty((n_steps, g_iter, bsz, s // 4, s // 4, 3), np.uint8))
         total = len(self)
         jobs = [(i, g, b, int(rng.integers(0, total)),
                  rng.integers(0, 2 ** 31, size=3))
@@ -80,7 +85,8 @@ class SRDataset:
             local = np.random.default_rng(seed)
             crop = self._random_crop(self._load(idx), local)
             hr[i, g, b] = crop
-            lr[i, g, b] = self._bicubic_down4(crop)
+            if not hr_only:
+                lr[i, g, b] = self._bicubic_down4(crop)
 
         if workers and workers > 1:
             from concurrent.futures import ThreadPoolExecutor

@@ -5,9 +5,12 @@ Reference: experiments/image_super_resolution.py. Two-phase training
 phase boundary, halfway lr drop inside the compiled step, and evaluation
 with Y-channel PSNR/SSIM (4-px crop) plus black-box/white-box metrics.
 
-Data is host-streamed (random crops + bicubic 1/4 downscale are
-host-side PIL work) with a background prefetch thread producing the next
-chunk while the device trains on the current one.
+Data is host-streamed (decode + random crop on host, with a background
+prefetch thread producing the next chunk while the device trains on the
+current one); the bicubic 1/4 downscale runs ON DEVICE inside the
+compiled chunk (ops/resize.bicubic_down4, PIL-matching numerics) so the
+1-core host ships only HR uint8 crops. Evaluation keeps the reference's
+host PIL bicubic for metric parity.
 """
 
 from __future__ import annotations
@@ -87,10 +90,12 @@ class ImageSuperResolution(Experiment):
 
     # -- training ----------------------------------------------------------
     def _produce(self, n: int):
-        lr, hr = self.dataset.sample_batches(
+        # hr_only: the bicubic 1/4 runs on device inside the chunk
+        # (ops/resize.bicubic_down4); host does decode + crop only.
+        _, hr = self.dataset.sample_batches(
             self._data_rng, n, self.model.g_iter, self.config.hparam.bsz,
-            workers=self.config.resource.get("worker", 0))
-        return lr, hr
+            workers=self.config.resource.get("worker", 0), hr_only=True)
+        return hr
 
     def _get_loader(self):
         if self._loader is None:
@@ -120,20 +125,19 @@ class ImageSuperResolution(Experiment):
         step_fn = (model.train_step_pretrain if phase == "pre"
                    else model.train_step_gan)
 
+        from iprgan_tpu.ops.resize import bicubic_down4
+
         @partial(jax.jit, donate_argnums=(0,))
-        def chunk(state, lr_u8, hr_u8, rng):
+        def chunk(state, hr_u8, rng):
             def body(state, xs):
-                lr_i, hr_i, k = xs
-                batch = {
-                    "lr": pctx.constrain_batch(
-                        lr_i, axis=1).astype(jnp.float32) / 255.0,
-                    "hr": pctx.constrain_batch(
-                        hr_i, axis=1).astype(jnp.float32) / 255.0,
-                }
+                hr_i, k = xs
+                hr_f = pctx.constrain_batch(
+                    hr_i, axis=1).astype(jnp.float32) / 255.0
+                batch = {"lr": bicubic_down4(hr_f), "hr": hr_f}
                 return step_fn(state, batch, k)
 
             keys = jax.random.split(rng, n)
-            return jax.lax.scan(body, state, (lr_u8, hr_u8, keys))
+            return jax.lax.scan(body, state, (hr_u8, keys))
 
         self._chunk_fns[key] = chunk
         return chunk
@@ -147,11 +151,10 @@ class ImageSuperResolution(Experiment):
                 n = min(n, boundary - step + 1)
         phase = "pre" if step <= pre else "gan"
 
-        lr, hr = self._fetch(n)
+        hr = self._fetch(n)
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._chunk_fn(n, phase)(
-            self.state, self.pctx.shard_batch(lr, axis=2),
-            self.pctx.shard_batch(hr, axis=2), k)
+            self.state, self.pctx.shard_batch(hr, axis=2), k)
         out = {key: np.asarray(v) for key, v in metrics.items()}
 
         if step <= pre <= step + n - 1:
