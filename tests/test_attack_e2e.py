@@ -113,9 +113,6 @@ def test_attack_restore_semantics_cyclegan(tmp_path):
 
     state = jax.device_get(exp.state)
     for g in ("GA", "GB"):
-        for path, leaf in jax.tree_util.tree_leaves_with_path(
-                victim[g]["params"])[:3]:
-            pass
         np.testing.assert_array_equal(
             np.asarray(jax.tree_util.tree_leaves(state[g]["params"])[0]),
             np.asarray(jax.tree_util.tree_leaves(victim[g]["params"])[0]))
