@@ -100,7 +100,7 @@ def bench_jax(dtype=None, protection="complete"):
     return _time_chunk(chunk, state, data, "G/Sum", CHUNK)
 
 
-def bench_srgan(chunk_steps: int = 50):
+def bench_srgan(chunk_steps: int = 50, dtype=None):
     """Reference SRGAN workload: 96px HR / 24px LR, bsz 16, GAN phase
     (SRResNet + Discriminator96 + VGG19 perceptual + bbox/wbox)."""
     import jax
@@ -119,7 +119,8 @@ def bench_srgan(chunk_steps: int = 50):
                 "V": "VGG19Feature", "opt": "Adam",
                 "opt_param": {"lr": 1e-4}}),
         protection_config=prot,
-        hparam={"pretrain_iter": 0, "iteration": 10 ** 6}, image_size=96)
+        hparam={"pretrain_iter": 0, "iteration": 10 ** 6}, image_size=96,
+        dtype=dtype)
     state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
     rng_d = jax.random.PRNGKey(2)
     data = {"lr": jax.random.uniform(rng_d, (1, 16, 24, 24, 3)),
@@ -135,7 +136,7 @@ def bench_srgan(chunk_steps: int = 50):
     return _time_chunk(chunk, state, data, "G/Sum", chunk_steps)
 
 
-def bench_cyclegan(chunk_steps: int = 20):
+def bench_cyclegan(chunk_steps: int = 20, dtype=None):
     """Reference CycleGAN workload: 128px crops, bsz 1, Resnet9Blocks +
     PatchGAN + pools + bbox/wbox."""
     import jax
@@ -155,7 +156,7 @@ def bench_cyclegan(chunk_steps: int = 20):
                 "lambda_A": 10.0, "lambda_B": 10.0, "lambda_idt": 0.5,
                 "pool_size": 50, "opt": "Adam",
                 "opt_param": {"lr": 2e-4, "betas": [0.5, 0.999]}}),
-        protection_config=prot, hparam={}, image_size=128)
+        protection_config=prot, hparam={}, image_size=128, dtype=dtype)
     state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
     k = jax.random.PRNGKey(2)
     data = {"real_A": jax.random.uniform(k, (1, 1, 128, 128, 3)) * 2 - 1,
