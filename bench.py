@@ -100,9 +100,42 @@ def bench_jax(dtype=None, protection="complete"):
     return _time_chunk(chunk, state, data, "G/Sum", CHUNK)
 
 
-def bench_srgan(chunk_steps: int = 50, dtype=None):
-    """Reference SRGAN workload: 96px HR / 24px LR, bsz 16, GAN phase
-    (SRResNet + Discriminator96 + VGG19 perceptual + bbox/wbox)."""
+def bench_vae(chunk_steps: int = 200, dtype=None):
+    """Reference VAE workload: 32px, bsz 64, complete protection
+    (Encoder32/Decoder32, joint Adam, KL + per-sample-summed BCE,
+    trigger on the encoder output — vae-cifar10-a.yaml hparams)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iprgan_tpu.config import Config
+    import iprgan_tpu.models  # noqa: F401
+    from iprgan_tpu.registry import MODELS
+    from __graft_entry__ import _dcgan_config
+
+    prot = _dcgan_config(1, 1, "/tmp/iprgan_bench_log").protection
+    model = MODELS("VAE")(
+        Config({"G": "Decoder32", "D": "Encoder32", "opt": "Adam",
+                "opt_param": {"lr": 3e-5, "weight_decay": 1e-6}}),
+        protection_config=prot, hparam={}, image_size=32, dtype=dtype)
+    state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
+    data = {"real": jax.random.uniform(
+        jax.random.PRNGKey(2), (1, BSZ, 32, 32, 3)) * 2 - 1}
+
+    @jax.jit
+    def chunk(state, batch, rng):
+        def body(state, key):
+            return model.train_step(state, batch, key)
+
+        return jax.lax.scan(body, state, jax.random.split(rng, chunk_steps))
+
+    return _time_chunk(chunk, state, data, "G/Sum", chunk_steps)
+
+
+def bench_srgan(chunk_steps: int = 50, dtype=None, phase: str = "gan"):
+    """Reference SRGAN workload: 96px HR / 24px LR, bsz 16. ``phase``:
+    'gan' (SRResNet + Discriminator96 + VGG19 perceptual + bbox/wbox) or
+    'pretrain' (pixel-MSE + wbox — the reference budget's dominant
+    1M-step phase, srgan-imagenet-a.yaml)."""
     import jax
     import jax.numpy as jnp
 
@@ -126,17 +159,20 @@ def bench_srgan(chunk_steps: int = 50, dtype=None):
     data = {"lr": jax.random.uniform(rng_d, (1, 16, 24, 24, 3)),
             "hr": jax.random.uniform(rng_d, (1, 16, 96, 96, 3))}
 
+    step_fn = (model.train_step_pretrain if phase == "pretrain"
+               else model.train_step_gan)
+
     @jax.jit
     def chunk(state, batch, rng):
         def body(state, key):
-            return model.train_step_gan(state, batch, key)
+            return step_fn(state, batch, key)
 
         return jax.lax.scan(body, state, jax.random.split(rng, chunk_steps))
 
     return _time_chunk(chunk, state, data, "G/Sum", chunk_steps)
 
 
-def bench_cyclegan(chunk_steps: int = 20, dtype=None):
+def bench_cyclegan(chunk_steps: int = 20, dtype=None, bsz: int = 1):
     """Reference CycleGAN workload: 128px crops, bsz 1, Resnet9Blocks +
     PatchGAN + pools + bbox/wbox."""
     import jax
@@ -159,8 +195,8 @@ def bench_cyclegan(chunk_steps: int = 20, dtype=None):
         protection_config=prot, hparam={}, image_size=128, dtype=dtype)
     state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
     k = jax.random.PRNGKey(2)
-    data = {"real_A": jax.random.uniform(k, (1, 1, 128, 128, 3)) * 2 - 1,
-            "real_B": jax.random.uniform(k, (1, 1, 128, 128, 3)) * 2 - 1}
+    data = {"real_A": jax.random.uniform(k, (1, bsz, 128, 128, 3)) * 2 - 1,
+            "real_B": jax.random.uniform(k, (1, bsz, 128, 128, 3)) * 2 - 1}
 
     @jax.jit
     def chunk(state, batch, rng):
@@ -281,7 +317,10 @@ def main():
             print(f"bf16 variant failed: {e}", file=sys.stderr)
             bf16_sps = None
         workloads = {}
-        for name, fn in (("srgan_96px_bsz16_gan_phase", bench_srgan),
+        for name, fn in (("vae_32px_bsz64_complete", bench_vae),
+                         ("srgan_96px_bsz16_gan_phase", bench_srgan),
+                         ("srgan_96px_bsz16_pretrain",
+                          lambda: bench_srgan(phase="pretrain")),
                          ("cyclegan_128px_bsz1", bench_cyclegan)):
             try:
                 sps, fps = fn()
