@@ -127,6 +127,37 @@ def test_attack_restore_semantics_cyclegan(tmp_path):
     assert int(state["step"]) == 0
 
 
+def test_attack_finetune_e2e_vae(tmp_path):
+    """Finetune attack on VAE: the one family with a JOINT optimizer
+    under the ``opt`` key (reference models/vae.py:25-32) — the ``^G``
+    regex must restore G only, leaving D and the joint opt fresh."""
+    import attack
+    import jax
+    from iprgan_tpu.experiments import get_experiment
+    from tests.test_vae_train import make_vae_config
+
+    config = make_vae_config(tmp_path)
+    exp = get_experiment(config.experiment)(config)
+    exp.start()
+    victim = ckpt.load(os.path.join(config.log.path, ckpt.CKPT_NAME))
+    assert {"G", "D", "opt", "fn_inp", "fn_out", "sign",
+            "step"} <= set(victim)
+
+    args = argparse.Namespace(mode="finetune", load_discriminator=False,
+                              watermark=None, log=config.log.path)
+    attack.main(config.copy(), args)
+
+    ft_log = os.path.abspath(config.log.path) + "-ND-FT"
+    assert os.path.exists(os.path.join(ft_log, "config.yaml"))
+    # the attacked run continued from the victim's G (strict=False load
+    # with only ^G keys): its saved G differs from the victim's after
+    # finetuning, but the owner's eval ran on the attacked weights
+    metrics = json.load(open(os.path.join(config.log.path, "metrics.json")))
+    assert "WBOX" in metrics["synthetic"]
+    ft_sd = ckpt.load(os.path.join(ft_log, ckpt.CKPT_NAME))
+    assert "G" in ft_sd and "opt" in ft_sd
+
+
 def test_attack_finetune_e2e_cyclegan(tmp_path):
     """Full finetune attack through attack.main on CycleGAN, ending in
     the owner's verification on the attacked weights."""
