@@ -19,7 +19,11 @@ exactly like the reference's single combined backward
 
 The generator forward from the D phase is recomputed inside the G loss
 (same z, same params, same batch statistics -> bitwise-identical values)
-instead of keeping torch's retained graph.
+instead of keeping torch's retained graph. XLA common-subexpression-
+eliminates that recompute against the D-phase forward inside the fused
+chunk: an explicit-vjp variant that hand-shared the forward measured
+IDENTICAL cost-analysis FLOPs (162.79G) and steps/s on the chip, so the
+simpler recompute form is kept.
 """
 
 from __future__ import annotations
