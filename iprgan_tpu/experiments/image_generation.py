@@ -178,6 +178,20 @@ class ImageGeneration(Experiment):
 
         return InceptionActivations.build(self.config)
 
+    def _pad_shard(self, a):
+        """Batch-shard an eval array over the mesh, padding to a multiple
+        of the device count (the reference wraps eval Inception in
+        DataParallel, experiments/image_generation.py:155-158 — this is
+        the mesh equivalent: generated/real batches scatter over the
+        data axis, each chip runs 1/n of the forward). Padding rows
+        duplicate row 0 and are sliced off at every host boundary."""
+        n = self.pctx.n
+        pad = (-a.shape[0]) % n
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        return self.pctx.shard_batch(a)
+
     def evaluate(self, fpath: str):
         cfg = self.config
         apply_mask = self._masker() if self.bbox else None
@@ -206,13 +220,16 @@ class ImageGeneration(Experiment):
                 stats.update(q=[], p=[], m=[])
             n_batches = math.ceil(len(ds) / data["bsz"])
             for bi, y_u8 in enumerate(ds.iter_eval(data["bsz"])):
-                y = jnp.asarray(y_u8, jnp.float32) / 127.5 - 1.0
+                b = int(np.shape(y_u8)[0])  # real rows; the rest is padding
+                y = self._pad_shard(
+                    jnp.asarray(y_u8, jnp.float32) / 127.5 - 1.0)
                 eval_rng, zk = jax.random.split(eval_rng)
-                z = jax.random.normal(zk, (y.shape[0], self.model.Z_DIM))
+                z = self._pad_shard(
+                    jax.random.normal(zk, (b, self.model.Z_DIM)))
                 x = self._gen_eval(self.state, z)
 
                 if writer:
-                    for img in _postproc(x):
+                    for img in _postproc(x)[:b]:
                         writer(img, suffix="gen")
 
                 if self.bbox:
@@ -220,10 +237,10 @@ class ImageGeneration(Experiment):
                     xwm = self._gen_eval(self.state, zwm)
                     ywm = self.model.transform_output(self.state, x)
                     if writer:
-                        for img in _postproc(xwm):
+                        for img in _postproc(xwm)[:b]:
                             writer(img, suffix="wm")
-                    wm_x = _postproc(apply_mask(xwm))
-                    wm_y = _postproc(apply_mask(ywm))
+                    wm_x = _postproc(apply_mask(xwm))[:b]
+                    wm_y = _postproc(apply_mask(ywm))[:b]
                     q = ssim_fn(jnp.asarray(wm_x), jnp.asarray(wm_y),
                                 data_range=1.0, size_average=False)
                     p = compute_matching_prob(wm_x, wm_y)
@@ -233,13 +250,14 @@ class ImageGeneration(Experiment):
 
                 # one fused Inception pass over [generated; real]
                 # (inference-mode BN, so concatenation is value-identical
-                # to two calls and halves the dispatch round-trips)
-                n_x = x.shape[0]
+                # to two calls and halves the dispatch round-trips);
+                # inputs stay batch-sharded over the mesh
+                bp = x.shape[0]
                 feats, probs = inception(jnp.concatenate([x, y], axis=0))
                 feats = np.asarray(feats)
-                stats["fx"].append(feats[:n_x])
-                stats["fy"].append(feats[n_x:])
-                stats["prob"].append(np.asarray(probs)[:n_x])
+                stats["fx"].append(feats[:bp][:b])
+                stats["fy"].append(feats[bp:][:b])
+                stats["prob"].append(np.asarray(probs)[:bp][:b])
                 if bi + 1 >= n_batches:
                     break
 

@@ -36,6 +36,34 @@ def test_dp_matches_single_device(tmp_path):
     np.testing.assert_allclose(k1, k8, rtol=0, atol=2e-3)
 
 
+def test_eval_matches_single_device(tmp_path, monkeypatch):
+    """Mesh-sharded evaluation (generated/real batches scattered over
+    the data axis, the reference's DataParallel-eval equivalent) must
+    produce the same metrics as a single device — including the padding
+    path (eval bsz 10 over 8 devices pads 6 rows)."""
+    monkeypatch.setenv("IPRGAN_FAKE_INCEPTION", "1")
+    from iprgan_tpu.experiments import get_experiment
+
+    results = {}
+    for ngpu, sub in ((1, "e1"), (8, "e8")):
+        config = make_config(tmp_path, ngpu=ngpu, bsz=8, iteration=2,
+                             freq=100)
+        config.log.path = str(tmp_path / sub)
+        exp = get_experiment(config.experiment)(config)
+        results[ngpu] = exp.evaluate(str(tmp_path / f"metrics{ngpu}.json"))
+
+    e1, e8 = results[1]["synthetic"], results[8]["synthetic"]
+    assert set(e1) == set(e8)
+    np.testing.assert_allclose(float(e1["FID"]), float(e8["FID"]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(e1["IS_MEAN"]), float(e8["IS_MEAN"]),
+                               rtol=1e-3, atol=1e-4)
+    assert e1["WBOX"] == e8["WBOX"]
+    np.testing.assert_allclose(float(e1["BBOX"]["Q_WM"]),
+                               float(e8["BBOX"]["Q_WM"]), atol=1e-3)
+    assert e1["BBOX"]["MATCH"] == e8["BBOX"]["MATCH"]
+
+
 def test_parallel_context_shardings():
     from iprgan_tpu.parallel import ParallelContext
 
