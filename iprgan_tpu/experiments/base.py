@@ -141,11 +141,15 @@ class Experiment(ABC):
             metrics = self.train_chunk(n)
             if profiling:
                 jax.profiler.stop_trace()
-            for j in range(n):
+            # train_chunk may execute FEWER steps than requested (the SR
+            # driver clamps chunks at the pretrain/GAN boundary and the
+            # halfway lr drop) — trust the returned per-step axis, not n
+            n_done = min((len(v) for v in metrics.values()), default=n)
+            for j in range(n_done):
                 self.logger.write_scalar(
                     {k: float(v[j]) for k, v in metrics.items()}, step + j)
-            step += n
-            done_since += n
+            step += n_done
+            done_since += n_done
             if (step - 1) % freq == 0 or step > total:
                 rate = done_since / max(time.time() - t0, 1e-9)
                 print(f"step {step - 1}/{total}  {rate:.2f} steps/s")

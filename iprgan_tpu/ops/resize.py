@@ -47,15 +47,19 @@ def pil_downscale_weights(n_in: int, scale: int = 4) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _weights_f32(n_in: int, scale: int):
-    return jnp.asarray(pil_downscale_weights(n_in, scale), jnp.float32)
+def _weights_np(n_in: int, scale: int) -> np.ndarray:
+    # cache HOST numpy only: caching the jnp array would capture a
+    # tracer when the first call happens inside a jit trace, and leak it
+    # into later traces (surfaced by the SRGAN attack e2e, which traces
+    # the chunk once per experiment in one process)
+    return pil_downscale_weights(n_in, scale).astype(np.float32)
 
 
 def bicubic_down4(hr, scale: int = 4):
     """(..., H, W, C) float -> (..., H/4, W/4, C), PIL-bicubic semantics.
     Separable two-matmul formulation so XLA maps it onto the MXU."""
     h, w = hr.shape[-3], hr.shape[-2]
-    wh = _weights_f32(h, scale)
-    ww = _weights_f32(w, scale)
+    wh = jnp.asarray(_weights_np(h, scale))
+    ww = jnp.asarray(_weights_np(w, scale))
     out = jnp.einsum("oh,...hwc->...owc", wh, hr)
     return jnp.einsum("pw,...owc->...opc", ww, out)

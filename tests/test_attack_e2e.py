@@ -158,6 +158,39 @@ def test_attack_finetune_e2e_vae(tmp_path):
     assert "G" in ft_sd and "opt" in ft_sd
 
 
+def test_attack_finetune_e2e_srgan(tmp_path):
+    """Finetune attack on SRGAN — completes the attack-battery matrix
+    over all four families. The attack config rewrite zeroes
+    pretrain_iter (reference attack.py:106), so the attacked run goes
+    straight to the GAN phase from the victim's G."""
+    import attack
+    from iprgan_tpu.experiments import get_experiment
+    from tests.test_srgan_train import make_sr_config
+
+    config = make_sr_config(tmp_path)
+    exp = get_experiment(config.experiment)(config)
+    exp.start()
+    victim = ckpt.load(os.path.join(config.log.path, ckpt.CKPT_NAME))
+    assert {"G", "D", "optG", "optD", "fn_inp", "fn_out", "sign",
+            "step"} <= set(victim)
+
+    args = argparse.Namespace(mode="finetune", load_discriminator=False,
+                              watermark=None, log=config.log.path)
+    attack.main(config.copy(), args)
+
+    ft_log = os.path.abspath(config.log.path) + "-ND-FT"
+    assert os.path.exists(os.path.join(ft_log, "config.yaml"))
+    ft_conf = json.loads(json.dumps(
+        __import__("yaml").safe_load(open(os.path.join(ft_log,
+                                                       "config.yaml")))))
+    assert ft_conf["hparam"]["pretrain_iter"] == 0
+    assert ft_conf.get("protection") is None
+
+    metrics = json.load(open(os.path.join(config.log.path, "metrics.json")))
+    entry = metrics["sr_synthetic"]
+    assert "WBOX" in entry and "BBOX" in entry and "PSNR" in entry
+
+
 def test_attack_finetune_e2e_cyclegan(tmp_path):
     """Full finetune attack through attack.main on CycleGAN, ending in
     the owner's verification on the attacked weights."""
