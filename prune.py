@@ -46,6 +46,13 @@ def prune_module(module_sd, percent: float):
 
 
 def main(config, args):
+    import jax
+
+    if not config.resource.gpu:
+        # reference hides CUDA devices for --cpu (sign_flip.py:27-28);
+        # the jax equivalent is pinning the cpu platform
+        jax.config.update("jax_platforms", "cpu")
+
     from iprgan_tpu.experiments import get_experiment
     from iprgan_tpu.utils import checkpoint as ckpt
 

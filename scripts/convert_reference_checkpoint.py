@@ -42,7 +42,6 @@ tests/test_reference_checkpoint.py against torch forwards.
 
 import argparse
 import os
-import shutil
 import sys
 
 import numpy as np
@@ -465,9 +464,13 @@ def main():
     sd = convert(config, torch_ckpt)
     os.makedirs(args.output, exist_ok=True)
     ckpt.save(os.path.join(args.output, ckpt.CKPT_NAME), sd)
-    if os.path.abspath(args.config) != os.path.abspath(
-            os.path.join(args.output, "config.yaml")):
-        shutil.copy(args.config, os.path.join(args.output, "config.yaml"))
+    # write the config with log.path pointing at the output dir so the
+    # whole battery (eval/attack/prune/sign_flip read config.log.path,
+    # reference sign_flip.py:33) works from wherever -o landed
+    out_config = Config.parse(args.config)
+    out_config.log.path = os.path.abspath(args.output)
+    with open(os.path.join(args.output, "config.yaml"), "w") as f:
+        f.write(out_config.to_yaml())
     print(f"wrote {args.output}/{ckpt.CKPT_NAME}")
 
 

@@ -47,6 +47,13 @@ def flip_signs(module_sd: dict, percent: float, rng: np.random.Generator):
 
 
 def main(config, args):
+    import jax
+
+    if not config.resource.gpu:
+        # reference hides CUDA devices for --cpu (sign_flip.py:27-28);
+        # the jax equivalent is pinning the cpu platform
+        jax.config.update("jax_platforms", "cpu")
+
     from iprgan_tpu.experiments import get_experiment
     from iprgan_tpu.utils import checkpoint as ckpt
 

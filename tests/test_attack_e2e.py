@@ -179,12 +179,18 @@ def test_attack_finetune_e2e_srgan(tmp_path):
     attack.main(config.copy(), args)
 
     ft_log = os.path.abspath(config.log.path) + "-ND-FT"
-    assert os.path.exists(os.path.join(ft_log, "config.yaml"))
-    ft_conf = json.loads(json.dumps(
-        __import__("yaml").safe_load(open(os.path.join(ft_log,
-                                                       "config.yaml")))))
-    assert ft_conf["hparam"]["pretrain_iter"] == 0
-    assert ft_conf.get("protection") is None
+    # the attack dir's config.yaml holds the OWNER's config with the
+    # attack log path ("save old config to the log", reference
+    # attack.py:77-82) — NOT the mutated attack config
+    ft_conf = __import__("yaml").safe_load(
+        open(os.path.join(ft_log, "config.yaml")))
+    assert ft_conf["protection"] is not None
+    assert ft_conf["hparam"]["pretrain_iter"] == 2  # owner's value
+    assert ft_conf["log"]["path"] == ft_log
+    # ...but the attacked RUN used pretrain 0 + iteration//2: its END
+    # checkpoint resolves to 2 total steps
+    ft_sd = ckpt.load(os.path.join(ft_log, ckpt.CKPT_NAME))
+    assert ft_sd["step"] == "END"
 
     metrics = json.load(open(os.path.join(config.log.path, "metrics.json")))
     entry = metrics["sr_synthetic"]
