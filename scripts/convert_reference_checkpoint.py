@@ -49,43 +49,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 from iprgan_tpu.config import Config  # noqa: E402
-
-
-# ---------------------------------------------------------------------------
-# primitive weight transforms
-# ---------------------------------------------------------------------------
-
-def conv_w(w):
-    """torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)."""
-    return np.transpose(w, (2, 3, 1, 0))
-
-
-def convt_w(w):
-    """torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose
-    (kh, kw, in, out) with a spatial flip: torch computes the conv
-    gradient, flax correlates over the dilated input (same mapping as
-    the FCN-8s converter, verified in tests/test_fcn8s.py)."""
-    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
-
-
-def dense_out_chw(w, b, c, h, ww):
-    """torch Linear whose output is viewed (c, h, w) channel-major but
-    consumed here by an (h, w, c) reshape: permute the OUT axis.
-    Returns (kernel (in, out), bias (out,))."""
-    out, inp = w.shape
-    assert out == c * h * ww, (w.shape, c, h, ww)
-    k = w.reshape(c, h, ww, inp).transpose(1, 2, 0, 3).reshape(out, inp).T
-    return np.ascontiguousarray(k), b.reshape(c, h, ww).transpose(1, 2, 0).reshape(out)
-
-
-def dense_in_chw(w, c, h, ww):
-    """torch Linear over a flatten of (c, h, w) channel-major features,
-    where this framework flattens NHWC (h, w, c): permute the IN axis.
-    Returns kernel (in, out)."""
-    out = w.shape[0]
-    assert w.shape[1] == c * h * ww, (w.shape, c, h, ww)
-    k = w.reshape(out, c, h, ww).transpose(0, 2, 3, 1).reshape(out, -1).T
-    return np.ascontiguousarray(k)
+from iprgan_tpu.utils.torch_convert import (  # noqa: E402
+    conv_w,
+    convt_w,
+    dense_in_chw,
+    dense_out_chw,
+)
 
 
 def bn(sd, t):
@@ -325,7 +294,8 @@ def strip_module(sd):
 def convert_transform_buffers(sd):
     """fn_inp / fn_out buffer dicts. Paste transforms carry fg (1,3,s,s)
     / bg (1,1,s,s) NCHW planes -> (s,s,3)/(s,s,1); RandomBitMask carries
-    ``_mask`` (1,n) index rows -> (n,) int32; TransformDist is empty."""
+    ``_mask`` (1,n) index rows -> (n,) int32; TransformVar carries
+    (1,z) ``w``/``a`` rows (same layout here); TransformDist is empty."""
     sd = strip_module(sd)
     out = {}
     if "fg" in sd:
@@ -333,6 +303,9 @@ def convert_transform_buffers(sd):
         out["bg"] = np.ascontiguousarray(sd["bg"][0].transpose(1, 2, 0))
     if "_mask" in sd:
         out["_mask"] = np.asarray(sd["_mask"]).reshape(-1).astype(np.int32)
+    for key in ("w", "a"):  # TransformVar latent-mix buffers
+        if key in sd:
+            out[key] = np.asarray(sd[key], np.float32).reshape(1, -1)
     return out
 
 
@@ -390,8 +363,6 @@ def convert(config, torch_ckpt):
     state = jax.device_get(model.init_state(jax.random.PRNGKey(config.seed)))
     sd_out = serialization.to_state_dict(state)
 
-    net_names = {"G": "G", "D": "D", "GA": "GA", "GB": "GB",
-                 "DA": "DA", "DB": "DB"}
     conf_of = {"G": config.model.get("G"), "D": config.model.get("D"),
                "GA": config.model.get("G"), "GB": config.model.get("G"),
                "DA": config.model.get("D"), "DB": config.model.get("D")}
@@ -402,7 +373,7 @@ def convert(config, torch_ckpt):
     for key, sub in torch_ckpt.items():
         if key == "step":
             continue
-        if key in net_names:
+        if key in conf_of:
             net = conf_of[key]
             variables, smap = NET_CONVERTERS[net](strip_module(sub))
             assert key in sd_out, f"{key} not in model state"
@@ -424,6 +395,19 @@ def convert(config, torch_ckpt):
     if "sign" in torch_ckpt and sign_map is not None:
         sd_out["sign"] = convert_sign(strip_module(torch_ckpt["sign"]),
                                       sign_map)
+
+    # loudly flag protection state the config implies but the checkpoint
+    # does not carry: those entries would otherwise silently keep the
+    # template's FRESH RANDOM values (a re-embedded signature / a new
+    # trigger), which verifies against nothing
+    for prot_key in ("sign", "fn_inp", "fn_out"):
+        if prot_key in sd_out and prot_key not in torch_ckpt \
+                and sd_out[prot_key]:
+            print(f"WARNING: config declares protection but the torch "
+                  f"checkpoint has no '{prot_key}' — the output carries a "
+                  f"freshly initialized {prot_key} that will NOT verify "
+                  f"against these weights. Use the matching config tier "
+                  f"(baselines/black-box/complete).")
 
     step = torch_ckpt.get("step", 0)
     sd_out["step"] = step if step == "END" else int(step)

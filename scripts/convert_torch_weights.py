@@ -32,11 +32,13 @@ def save_npz(path, variables):
 
 def convert_fcn8s_state_dict(sd):
     """wkentaro/pytorch-fcn FCN8s state dict -> flax variables for
-    scripts/run_fcn.build_fcn8s. Plain convs map (cin,cout last) via
-    transpose(2,3,1,0); the bias-free transposed convs additionally flip
-    spatially because torch's ConvTranspose2d is the conv gradient while
-    flax's ConvTranspose correlates the kernel over the dilated input
-    (mapping verified numerically in tests/test_fcn8s.py)."""
+    scripts/run_fcn.build_fcn8s. Plain convs map via ``conv_w``; the
+    bias-free transposed convs use ``convt_w`` (spatial flip: torch's
+    ConvTranspose2d is the conv gradient while flax's ConvTranspose
+    correlates the kernel over the dilated input — verified numerically
+    in tests/test_fcn8s.py)."""
+    from iprgan_tpu.utils.torch_convert import conv_w, convt_w
+
     upscores = {"upscore2", "upscore_pool4", "upscore8"}
     params = {}
     for key in sd:
@@ -46,11 +48,9 @@ def convert_fcn8s_state_dict(sd):
         entry = params.setdefault(name, {})
         if leaf == "bias":
             entry["bias"] = sd[key]
-        elif name in upscores:
-            entry["kernel"] = np.ascontiguousarray(
-                sd[key].transpose(2, 3, 0, 1)[::-1, ::-1])
         else:
-            entry["kernel"] = sd[key].transpose(2, 3, 1, 0)
+            entry["kernel"] = (convt_w if name in upscores
+                               else conv_w)(sd[key])
     return {"params": params}
 
 
@@ -74,12 +74,14 @@ def main():
     elif kind == "fcn8s":
         variables = convert_fcn8s_state_dict(sd)
     else:
+        from iprgan_tpu.utils.torch_convert import conv_w
+
         conv_ids = sorted(
             {int(k.split(".")[1]) for k in sd if k.startswith("features.")})
         params = {}
         for i, idx in enumerate(conv_ids):
             params[f"conv{i}"] = {"conv": {
-                "kernel": sd[f"features.{idx}.weight"].transpose(2, 3, 1, 0),
+                "kernel": conv_w(sd[f"features.{idx}.weight"]),
                 "bias": sd[f"features.{idx}.bias"],
             }}
         variables = {"params": params}

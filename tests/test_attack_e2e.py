@@ -7,6 +7,7 @@ import os
 
 import numpy as np
 import pytest
+import yaml
 
 from iprgan_tpu.utils import checkpoint as ckpt
 from tests.test_dcgan_train import make_config, make_watermark
@@ -182,8 +183,8 @@ def test_attack_finetune_e2e_srgan(tmp_path):
     # the attack dir's config.yaml holds the OWNER's config with the
     # attack log path ("save old config to the log", reference
     # attack.py:77-82) — NOT the mutated attack config
-    ft_conf = __import__("yaml").safe_load(
-        open(os.path.join(ft_log, "config.yaml")))
+    with open(os.path.join(ft_log, "config.yaml")) as f:
+        ft_conf = yaml.safe_load(f)
     assert ft_conf["protection"] is not None
     assert ft_conf["hparam"]["pretrain_iter"] == 2  # owner's value
     assert ft_conf["log"]["path"] == ft_log

@@ -377,6 +377,12 @@ def test_transform_buffers():
     np.testing.assert_array_equal(out["_mask"], [5, 1, 9])
     assert out["_mask"].dtype == np.int32
 
+    w = rng.uniform(1, 3, size=(1, 128)).astype(np.float32)
+    a = (rng.uniform(size=(1, 128)) < 0.25).astype(np.float32)
+    out = convert_transform_buffers({"module.w": w, "module.a": a})
+    np.testing.assert_array_equal(out["w"], w)
+    np.testing.assert_array_equal(out["a"], a)
+
     assert convert_transform_buffers({}) == {}
 
 
