@@ -13,7 +13,6 @@ zero host->device traffic during training.
 from __future__ import annotations
 
 import json
-import math
 import os
 from functools import partial
 
@@ -107,7 +106,7 @@ class ImageGeneration(Experiment):
         bsz = self.config.hparam.bsz
         d_iter = model.d_iter
 
-        @partial(jax.jit, static_argnums=(), donate_argnums=(0,))
+        @partial(jax.jit, donate_argnums=(0,))
         def chunk(state, data_u8, rng):
             def body(state, key):
                 kidx, kstep = jax.random.split(key)
@@ -157,7 +156,7 @@ class ImageGeneration(Experiment):
         conf["opaque"] = True
         t = make_transform(conf, normalized=True)
         buf = t.init_buffers(jax.random.PRNGKey(0))
-        return lambda x: np.asarray(t.apply_mask(buf, jnp.asarray(x)))
+        return lambda x: t.apply_mask(buf, x)  # stays on device
 
     def _feature_fn(self):
         """InceptionV3 (TF-FID variant) activations + softmax probs.
@@ -195,7 +194,10 @@ class ImageGeneration(Experiment):
     def evaluate(self, fpath: str):
         cfg = self.config
         apply_mask = self._masker() if self.bbox else None
-        eval_rng = jax.random.PRNGKey(cfg.seed)
+        # distinct stream from the init-time split of PRNGKey(seed)
+        # (single-use key hygiene; the reference reseeds torch here,
+        # reference image_generation.py:151)
+        eval_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0xE7A1)
 
         print("*** EVALUATION ***")
         inception = self._feature_fn()
@@ -218,8 +220,7 @@ class ImageGeneration(Experiment):
             stats = {"fx": [], "fy": [], "prob": []}
             if self.bbox:
                 stats.update(q=[], p=[], m=[])
-            n_batches = math.ceil(len(ds) / data["bsz"])
-            for bi, y_u8 in enumerate(ds.iter_eval(data["bsz"])):
+            for y_u8 in ds.iter_eval(data["bsz"]):
                 b = int(np.shape(y_u8)[0])  # real rows; the rest is padding
                 y = self._pad_shard(
                     jnp.asarray(y_u8, jnp.float32) / 127.5 - 1.0)
@@ -239,12 +240,18 @@ class ImageGeneration(Experiment):
                     if writer:
                         for img in _postproc(xwm)[:b]:
                             writer(img, suffix="wm")
-                    wm_x = _postproc(apply_mask(xwm))[:b]
-                    wm_y = _postproc(apply_mask(ywm))[:b]
-                    q = ssim_fn(jnp.asarray(wm_x), jnp.asarray(wm_y),
-                                data_range=1.0, size_average=False)
+                    # mask + rescale + SSIM all on device; pull each
+                    # masked crop to host ONCE (PDQ runs on host) —
+                    # avoids a device->host->device bounce per batch,
+                    # which costs ~28 ms/fetch on the axon tunnel
+                    xm = jnp.clip(apply_mask(xwm), -1.0, 1.0) * 0.5 + 0.5
+                    ym = jnp.clip(apply_mask(ywm), -1.0, 1.0) * 0.5 + 0.5
+                    q = np.asarray(ssim_fn(xm, ym, data_range=1.0,
+                                           size_average=False))[:b]
+                    wm_x = np.asarray(xm)[:b]
+                    wm_y = np.asarray(ym)[:b]
                     p = compute_matching_prob(wm_x, wm_y)
-                    stats["q"].append(np.asarray(q))
+                    stats["q"].append(q)
                     stats["p"].append(p)
                     stats["m"].append(p < cfg.evaluation.p_thres)
 
@@ -258,8 +265,6 @@ class ImageGeneration(Experiment):
                 stats["fx"].append(feats[:bp][:b])
                 stats["fy"].append(feats[bp:][:b])
                 stats["prob"].append(np.asarray(probs)[:bp][:b])
-                if bi + 1 >= n_batches:
-                    break
 
             for k in stats:
                 stats[k] = np.concatenate(stats[k], axis=0)
