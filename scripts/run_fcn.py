@@ -133,6 +133,15 @@ def score(pred, gt_train_ids, hist):
 
 
 def main():
+    import jax
+
+    # persistent compile cache: the FCN-8s forward otherwise recompiles
+    # on every invocation (minutes on a contended 1-core host)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("IPRGAN_JAX_CACHE", "/tmp/iprgan_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", required=True,
                     help="run log dir containing samples/cityscapes/")

@@ -135,7 +135,10 @@ def test_run_fcn_e2e_with_converted_weights(tmp_path, torch_net):
         [sys.executable, os.path.join(REPO, "scripts", "run_fcn.py"),
          "--log", str(tmp_path / "log"), "--gt", str(gt_dir),
          "--weights", weights],
-        env=env, capture_output=True, text=True, timeout=300)
+        # generous: the FCN-8s forward compiles in the subprocess and
+        # this 1-core host is often contended — 300 s flaked twice in
+        # full-suite runs while the test passes standalone in ~60 s
+        env=env, capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, out.stderr
 
     metrics = json.load(open(tmp_path / "log" / "metrics.json"))
