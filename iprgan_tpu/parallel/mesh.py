@@ -23,7 +23,10 @@ def maybe_init_distributed() -> None:
     """Multi-host: initialize the JAX distributed runtime when this
     process is one rank of a multi-process launch. The same SPMD program
     then runs per host, with collectives over ICI within a slice and DCN
-    across hosts — no further code changes needed.
+    across hosts. Host data enters through ``_place`` (every rank
+    computes the identical seeded global batch and materializes only its
+    addressable shards), so the experiment drivers run unchanged —
+    verified by a real 2-process train_chunk in tests/test_multihost.py.
 
     Contract (tested in tests/test_multihost.py with a real 2-process
     CPU launch):
@@ -73,13 +76,31 @@ class ParallelContext:
         spec[axis] = "data"
         return NamedSharding(self.mesh, P(*spec))
 
+    def _place(self, x, sharding):
+        """Place one host array under ``sharding``.
+
+        Single-process: plain ``device_put``. Multi-process: the mesh
+        spans devices this process cannot address, so ``device_put``
+        would raise — instead each process materializes only the shards
+        it owns via ``make_array_from_callback``, slicing the SAME
+        host-side global value (the data contract: every rank computes
+        the identical global batch from the shared config seed, so any
+        rank can serve any global index it owns).
+        """
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+
     def replicate(self, tree):
         """Place a pytree fully replicated on the mesh."""
-        return jax.device_put(tree, self.replicated)
+        return jax.tree_util.tree_map(
+            lambda leaf: self._place(leaf, self.replicated), tree)
 
     def shard_batch(self, x, axis: int = 0):
         """Place a host batch sharded over the data axis."""
-        return jax.device_put(x, self.batch_sharding(np.ndim(x), axis))
+        return self._place(x, self.batch_sharding(np.ndim(x), axis))
 
     def constrain_batch(self, x, axis: int = 0):
         """In-jit sharding constraint forcing batch-parallel layout."""

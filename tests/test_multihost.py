@@ -44,6 +44,86 @@ def _free_port():
         return s.getsockname()[1]
 
 
+# Full training step across 2 processes: each rank owns one CPU device
+# of a 2-device global mesh, the experiment driver runs UNCHANGED (the
+# multi-process data path goes through ParallelContext._place /
+# make_array_from_callback — device_put would raise on non-addressable
+# devices), and the resulting metrics + parameters must equal a
+# single-process run with the same global batch and seed.
+_TRAIN_WORKER = """
+import json, os, pathlib, sys, tempfile
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, {repo!r})
+import numpy as np
+from tests.test_dcgan_train import make_config
+from iprgan_tpu.experiments import get_experiment
+
+ngpu = int(os.environ["WORKER_NGPU"])
+bsz = int(os.environ["WORKER_BSZ"])
+tmp = pathlib.Path(tempfile.mkdtemp())
+config = make_config(tmp, ngpu=ngpu, bsz=bsz, iteration=8, freq=100)
+exp = get_experiment(config.experiment)(config)
+assert exp.pctx.n == ngpu, exp.pctx.n
+m = exp.train_chunk(2)
+out = {{k: [float(x) for x in v] for k, v in m.items()}}
+kern = np.asarray(jax.device_get(
+    exp.state["G"]["params"]["fc"]["dense"]["kernel"]))
+out["_k_absum"] = float(np.abs(kern).sum())
+print("METRICS " + json.dumps(out, sort_keys=True))
+"""
+
+
+def _run_train_workers(tmp_path, n_proc, ngpu, bsz, timeout):
+    script = tmp_path / f"train_worker_{n_proc}.py"
+    script.write_text(_TRAIN_WORKER.format(repo=REPO))
+    port = _free_port()
+    procs = []
+    for pid in range(n_proc):
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   WORKER_NGPU=str(ngpu), WORKER_BSZ=str(bsz))
+        env.pop("XLA_FLAGS", None)  # 1 device per rank
+        for k in ("IPRGAN_COORDINATOR", "IPRGAN_NUM_PROCESSES",
+                  "IPRGAN_PROCESS_ID"):
+            env.pop(k, None)
+        if n_proc > 1:
+            env.update(IPRGAN_COORDINATOR=f"127.0.0.1:{port}",
+                       IPRGAN_NUM_PROCESSES=str(n_proc),
+                       IPRGAN_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    metrics = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid}/{n_proc} failed:\n{out}"
+        import json
+        line = [l for l in out.splitlines() if l.startswith("METRICS ")][-1]
+        metrics.append(json.loads(line[len("METRICS "):]))
+    return metrics
+
+
+def test_two_process_train_chunk_matches_single(tmp_path):
+    import numpy as np
+
+    # 2 ranks x (ngpu=2, bsz 4) -> global batch 8, vs 1 rank ngpu=1 bsz 8.
+    # Same seed -> same on-device sampled batches -> same math up to
+    # cross-device reduction order.
+    multi = _run_train_workers(tmp_path, n_proc=2, ngpu=2, bsz=4,
+                               timeout=1200)
+    single = _run_train_workers(tmp_path, n_proc=1, ngpu=1, bsz=8,
+                                timeout=1200)[0]
+    assert multi[0] == multi[1]  # replicated outputs agree across ranks
+    for key in ("D/Sum", "G/Sum", "G/Adv", "P/SSIM"):
+        np.testing.assert_allclose(multi[0][key], single[key],
+                                   rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(multi[0]["_k_absum"], single["_k_absum"],
+                               rtol=1e-3)
+
+
 def test_two_process_cpu_launch(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.format(repo=REPO))
