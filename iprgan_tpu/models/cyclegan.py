@@ -39,6 +39,10 @@ def pool_query(pool, images, rng, pool_size: int):
     replace it with the incoming image; otherwise return the incoming.
     """
     b = images.shape[0]
+    if b > pool_size:
+        raise ValueError(
+            f"pool_size {pool_size} must be >= the (global) batch {b}: "
+            "each incoming image needs a distinct candidate slot")
     counts = pool["counts"]
     k1, k2 = jax.random.split(rng)
     swap_coin = jax.random.uniform(k1, (b,)) > 0.5
