@@ -100,7 +100,7 @@ def bench_jax(dtype=None, protection="complete"):
     return _time_chunk(chunk, state, data, "G/Sum", CHUNK)
 
 
-def bench_vae(chunk_steps: int = 200, dtype=None):
+def bench_vae(chunk_steps: int = 200, dtype=None, bsz: int = BSZ):
     """Reference VAE workload: 32px, bsz 64, complete protection
     (Encoder32/Decoder32, joint Adam, KL + per-sample-summed BCE,
     trigger on the encoder output — vae-cifar10-a.yaml hparams)."""
@@ -119,7 +119,7 @@ def bench_vae(chunk_steps: int = 200, dtype=None):
         protection_config=prot, hparam={}, image_size=32, dtype=dtype)
     state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
     data = {"real": jax.random.uniform(
-        jax.random.PRNGKey(2), (1, BSZ, 32, 32, 3)) * 2 - 1}
+        jax.random.PRNGKey(2), (1, bsz, 32, 32, 3)) * 2 - 1}
 
     @jax.jit
     def chunk(state, batch, rng):
@@ -131,7 +131,8 @@ def bench_vae(chunk_steps: int = 200, dtype=None):
     return _time_chunk(chunk, state, data, "G/Sum", chunk_steps)
 
 
-def bench_srgan(chunk_steps: int = 50, dtype=None, phase: str = "gan"):
+def bench_srgan(chunk_steps: int = 50, dtype=None, phase: str = "gan",
+                bsz: int = 16, wbox: bool = True, in_chunk_resize=False):
     """Reference SRGAN workload: 96px HR / 24px LR, bsz 16. ``phase``:
     'gan' (SRResNet + Discriminator96 + VGG19 perceptual + bbox/wbox) or
     'pretrain' (pixel-MSE + wbox — the reference budget's dominant
@@ -147,6 +148,8 @@ def bench_srgan(chunk_steps: int = 50, dtype=None, phase: str = "gan"):
     prot = _dcgan_config(1, 1, "/tmp/iprgan_bench_log").protection
     prot["bbox"]["fn_inp"] = Config({"type": "RandomNoisePatch", "size": 6})
     prot["bbox"]["fn_out"]["size"] = 48
+    if not wbox:
+        prot["wbox"] = None
     model = MODELS("SRGAN")(
         Config({"G": "SRResNet", "D": "Discriminator96",
                 "V": "VGG19Feature", "opt": "Adam",
@@ -156,8 +159,12 @@ def bench_srgan(chunk_steps: int = 50, dtype=None, phase: str = "gan"):
         dtype=dtype)
     state = jax.device_put(model.init_state(jax.random.PRNGKey(0)))
     rng_d = jax.random.PRNGKey(2)
-    data = {"lr": jax.random.uniform(rng_d, (1, 16, 24, 24, 3)),
-            "hr": jax.random.uniform(rng_d, (1, 16, 96, 96, 3))}
+    data = {"lr": jax.random.uniform(rng_d, (1, bsz, 24, 24, 3)),
+            "hr": jax.random.uniform(rng_d, (1, bsz, 96, 96, 3))}
+    if in_chunk_resize:
+        # real train-path shape: uint8 HR crops shipped, bicubic /4
+        # inside the chunk (ops/resize.py; image_super_resolution.py)
+        data = {"hr_u8": (data["hr"] * 255).astype(jnp.uint8)}
 
     step_fn = (model.train_step_pretrain if phase == "pretrain"
                else model.train_step_gan)
@@ -165,7 +172,14 @@ def bench_srgan(chunk_steps: int = 50, dtype=None, phase: str = "gan"):
     @jax.jit
     def chunk(state, batch, rng):
         def body(state, key):
-            return step_fn(state, batch, key)
+            if in_chunk_resize:
+                from iprgan_tpu.ops.resize import bicubic_down4
+
+                hr = batch["hr_u8"][0].astype(jnp.float32) / 255.0
+                b = {"lr": bicubic_down4(hr)[None], "hr": hr[None]}
+            else:
+                b = batch
+            return step_fn(state, b, key)
 
         return jax.lax.scan(body, state, jax.random.split(rng, chunk_steps))
 
@@ -301,8 +315,32 @@ def bench_torch_cpu(n_steps: int = 6) -> float:
     return n_steps / (time.perf_counter() - t0)
 
 
+def _prior_round_value():
+    """Most recent recorded headline value (BENCH_r*.json at repo root)
+    for the round-over-round regression ratio."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                value = json.load(f)["parsed"]["value"]
+        except Exception:
+            continue
+        if value and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), float(value))
+    return best  # (round, steps_per_sec) or None
+
+
 def main():
     with contextlib.redirect_stdout(sys.stderr):
+        import jax.numpy as jnp
+
         from iprgan_tpu.utils.flops import chip_peak_flops, mfu
 
         peak = chip_peak_flops()
@@ -310,30 +348,33 @@ def main():
         print(f"jax f32 steps/s: {jax_sps:.2f} "
               f"flops/step: {flops_step}", file=sys.stderr)
         try:
-            import jax.numpy as jnp
             bf16_sps, _ = bench_jax(dtype=jnp.bfloat16)
             print(f"jax bf16 steps/s: {bf16_sps:.2f}", file=sys.stderr)
         except Exception as e:
             print(f"bf16 variant failed: {e}", file=sys.stderr)
             bf16_sps = None
+        # every README perf row (f32 AND bf16, all four families) comes
+        # from this loop so the table is reproducible from one command
         workloads = {}
         for name, fn in (("vae_32px_bsz64_complete", bench_vae),
                          ("srgan_96px_bsz16_gan_phase", bench_srgan),
                          ("srgan_96px_bsz16_pretrain",
-                          lambda: bench_srgan(phase="pretrain")),
+                          lambda **kw: bench_srgan(phase="pretrain", **kw)),
                          ("cyclegan_128px_bsz1", bench_cyclegan)):
-            try:
-                sps, fps = fn()
-                workloads[name] = {
-                    "steps_per_sec": round(sps, 2),
-                    "flops_per_step": fps,
-                    "mfu": round(mfu(fps, sps, peak), 4)
-                    if mfu(fps, sps, peak) else None,
-                }
-                print(f"{name}: {workloads[name]}", file=sys.stderr)
-            except Exception as e:
-                print(f"{name} failed: {e}", file=sys.stderr)
-                workloads[name] = None
+            for suffix, dt in (("", None), ("_bf16", jnp.bfloat16)):
+                try:
+                    sps, fps = fn(dtype=dt)
+                    workloads[name + suffix] = {
+                        "steps_per_sec": round(sps, 2),
+                        "flops_per_step": fps,
+                        "mfu": round(mfu(fps, sps, peak), 4)
+                        if mfu(fps, sps, peak) else None,
+                    }
+                    print(f"{name + suffix}: {workloads[name + suffix]}",
+                          file=sys.stderr)
+                except Exception as e:
+                    print(f"{name + suffix} failed: {e}", file=sys.stderr)
+                    workloads[name + suffix] = None
         try:
             torch_sps = bench_torch_cpu()
             print(f"torch-cpu steps/s: {torch_sps:.2f}", file=sys.stderr)
@@ -342,20 +383,31 @@ def main():
             torch_sps = None
 
     dcgan_mfu = mfu(flops_step, jax_sps, peak)
+    prior = _prior_round_value()
     result = {
         "metric": "dcgan_cifar10_complete_train_steps_per_sec",
         "value": round(jax_sps, 2),
         "unit": "steps/s",
-        "vs_baseline": round(jax_sps / torch_sps, 2) if torch_sps else None,
-        "baseline": "reference-equivalent torch step on this host CPU "
-                    f"({round(torch_sps, 2) if torch_sps else 'n/a'} steps/s)",
-        "workload": f"DCGAN-32px bsz={BSZ} bbox(SSIM)+wbox(sign) complete, f32",
-        "bf16_steps_per_sec": round(bf16_sps, 2) if bf16_sps else None,
-        # MFU: XLA-counted FLOPs/step * steps/s / chip peak (bf16 peak;
-        # see iprgan_tpu/utils/flops.py).
+        # MFU is the headline utilization number: XLA-counted FLOPs/step
+        # * steps/s / chip bf16 peak (iprgan_tpu/utils/flops.py)
+        "mfu": round(dcgan_mfu, 4) if dcgan_mfu else None,
         "flops_per_step": flops_step,
         "chip_peak_flops": peak,
-        "mfu": round(dcgan_mfu, 4) if dcgan_mfu else None,
+        # regression ratio vs OUR OWN previous recorded round — an
+        # apples-to-apples same-hardware trend, not a cross-stack claim
+        "vs_baseline": (round(jax_sps / prior[1], 3) if prior else 1.0),
+        "baseline": (f"this framework's round-{prior[0]} recorded value "
+                     f"({prior[1]} steps/s, same chip)" if prior
+                     else "first recorded round"),
+        "workload": f"DCGAN-32px bsz={BSZ} bbox(SSIM)+wbox(sign) complete, f32",
+        "bf16_steps_per_sec": round(bf16_sps, 2) if bf16_sps else None,
+        # torch-CPU context ratio: the reference stack is torch and this
+        # image has no CUDA, so its only runnable form here is one CPU
+        # core — a CROSS-HARDWARE ratio, not a hardware-for-hardware win
+        "torch_cpu_1core_steps_per_sec":
+            round(torch_sps, 2) if torch_sps else None,
+        "torch_cpu_1core_ratio":
+            round(jax_sps / torch_sps, 1) if torch_sps else None,
         "workloads": workloads,
     }
     print(json.dumps(result))

@@ -57,6 +57,45 @@ def compiled_flops(jitted_fn, *args) -> float | None:
         return None
 
 
+def compiled_cost(jitted_fn, *args) -> dict | None:
+    """Full XLA cost analysis of one call (``flops``, ``bytes accessed``
+    and per-space breakdowns) — the basis for roofline attribution:
+    arithmetic intensity = flops / bytes accessed, vs the chip ridge
+    point (peak FLOP/s / HBM bandwidth)."""
+    try:
+        compiled = jitted_fn.lower(*args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return dict(analysis)
+    except Exception:
+        return None
+
+
+# Public HBM bandwidth by generation (cloud.google.com/tpu/docs), for
+# roofline ridge points.
+_HBM_BYTES_PER_S = {
+    "v4": 1228e9,
+    "v5 lite": 819e9,
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v6 lite": 1640e9,
+    "v6e": 1640e9,
+}
+
+
+def chip_hbm_bandwidth(device=None) -> float | None:
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    if "tpu" not in kind and device.platform not in ("tpu", "axon"):
+        return None
+    for name, bw in sorted(_HBM_BYTES_PER_S.items(),
+                           key=lambda kv: -len(kv[0])):
+        if name in kind:
+            return bw
+    return _HBM_BYTES_PER_S["v5e"]
+
+
 def mfu(flops_per_step: float | None, steps_per_sec: float,
         peak: float | None) -> float | None:
     if not flops_per_step or not peak:
