@@ -70,6 +70,13 @@ def test_pool_query_semantics():
     assert v in {1.0, 2.0, 3.0, 4.0, 9.0}
 
 
+def test_pool_query_rejects_small_pool():
+    pool = {"images": jnp.zeros((2, 2, 2, 1)), "counts": jnp.int32(0)}
+    img = jnp.ones((4, 2, 2, 1))
+    with pytest.raises(ValueError, match="pool_size"):
+        pool_query(pool, img, jax.random.PRNGKey(0), 2)
+
+
 def test_cyclegan_train_and_lr_decay(tmp_path):
     from iprgan_tpu.experiments import get_experiment
 
