@@ -69,6 +69,31 @@ class ParallelContext:
         self.n = n
         self.mesh = Mesh(np.asarray(devices[:n]), ("data",))
         self.replicated = NamedSharding(self.mesh, P())
+        if jax.process_count() > 1:
+            self._warm_collectives()
+
+    def _warm_collectives(self):
+        """Establish the cross-process collective context now, while rank
+        skew is milliseconds.
+
+        The backend's communicator rendezvous (gloo on CPU) otherwise
+        happens lazily at the FIRST collective of the first compiled
+        step — after each rank's independent jit compile. Compile times
+        vary across ranks (cache hits, host load), and the rendezvous
+        key-value lookup has a hard 30 s deadline, so a >30 s compile
+        skew kills the job (observed on 1-core CI: "Gloo context
+        initialization failed: GetKeyValue() timed out"). Once the
+        context exists, later collectives wait for lagging peers without
+        a deadline — measured tolerant to 60 s skew. Cost: one tiny
+        psum (<1 s including its compile).
+        """
+        import jax.numpy as jnp
+
+        sh = self.batch_sharding(1, 0)
+        ones = np.ones((self.n,), np.float32)
+        x = jax.make_array_from_callback(ones.shape, sh, lambda i: ones[i])
+        out = jax.jit(jnp.sum, out_shardings=self.replicated)(x)
+        assert float(np.asarray(out)) == float(self.n)
 
     def batch_sharding(self, ndim: int, axis: int) -> NamedSharding:
         """Shard dimension ``axis`` of an ndim-array over the data axis."""
