@@ -180,13 +180,39 @@ class CycleGAN:
             real_b = batch["real_B"][g]
 
             def g_loss(params):
+                # Both nets are purely per-sample (conv + InstanceNorm),
+                # so independent applies of the same net batch exactly:
+                # at the reference's bsz-1 workload this turns 6-7
+                # batch-1 generator calls into 4 calls at batch 2-3,
+                # which is the difference between half-empty and fuller
+                # MXU tiles (measured on chip; README perf section).
                 ga, gb = params["GA"], params["GB"]
-                fb = self.GA.apply({"params": ga}, real_a)
-                fa = self.GB.apply({"params": gb}, real_b)
+                b = real_a.shape[0]
+                if P.bbox:
+                    xwm = P.fn_inp(state["fn_inp"],
+                                   jax.lax.stop_gradient(real_b))
+                # round 1 — inputs independent of any generator output
+                if self.lambda_idt > 0:
+                    out_a = self.GA.apply(
+                        {"params": ga},
+                        jnp.concatenate([real_a, real_b], axis=0))
+                    fb, idt_a = out_a[:b], out_a[b:]
+                    gb_in = [real_b, real_a] + ([xwm] if P.bbox else [])
+                    out_b = self.GB.apply(
+                        {"params": gb}, jnp.concatenate(gb_in, axis=0))
+                    fa, idt_b = out_b[:b], out_b[b:2 * b]
+                    gxwm = out_b[2 * b:] if P.bbox else None
+                else:
+                    fb = self.GA.apply({"params": ga}, real_a)
+                    gb_in = [real_b] + ([xwm] if P.bbox else [])
+                    out_b = self.GB.apply(
+                        {"params": gb}, jnp.concatenate(gb_in, axis=0))
+                    fa = out_b[:b]
+                    gxwm = out_b[b:] if P.bbox else None
+                    idt_a = idt_b = None
+                # round 2 — cycle reconstructions depend on round 1
                 rec_a = self.GB.apply({"params": gb}, fb)
                 rec_b = self.GA.apply({"params": ga}, fa)
-                idt_a = self.GA.apply({"params": ga}, real_b)
-                idt_b = self.GB.apply({"params": gb}, real_a)
                 ga_logits = self.DA.apply(
                     {"params": state["DA"]["params"]}, fb)
                 gb_logits = self.DB.apply(
@@ -210,11 +236,8 @@ class CycleGAN:
                        "G/IdtA": loss_idt_a, "G/IdtB": loss_idt_b,
                        "_fa": fa, "_fb": fb}
                 if P.bbox:
-                    xwm = P.fn_inp(state["fn_inp"],
-                                   jax.lax.stop_gradient(real_b))
                     ywm = jax.lax.stop_gradient(
                         P.fn_out(state["fn_out"], jax.lax.stop_gradient(fa)))
-                    gxwm = self.GB.apply({"params": gb}, xwm)
                     loss_w = P.loss_fn(gxwm, ywm)
                     total = total + P.lam * loss_w
                     aux[f"P/{P.loss_name.upper()}"] = loss_w
@@ -249,11 +272,18 @@ class CycleGAN:
             state = dict(state, poolA=new_pool_a, poolB=new_pool_b)
 
             def d_loss(params):
+                # one fused forward per discriminator over [real; pool]
+                # (PatchGAN is per-sample: conv + non-affine InstanceNorm)
                 da, db = params["DA"], params["DB"]
-                ra_logits = self.DB.apply({"params": db}, real_a)
-                fa_logits = self.DB.apply({"params": db}, fa_pool)
-                rb_logits = self.DA.apply({"params": da}, real_b)
-                fb_logits = self.DA.apply({"params": da}, fb_pool)
+                b = real_a.shape[0]
+                db_out = self.DB.apply(
+                    {"params": db},
+                    jnp.concatenate([real_a, fa_pool], axis=0))
+                ra_logits, fa_logits = db_out[:b], db_out[b:]
+                da_out = self.DA.apply(
+                    {"params": da},
+                    jnp.concatenate([real_b, fb_pool], axis=0))
+                rb_logits, fb_logits = da_out[:b], da_out[b:]
                 loss_dra = mse(rb_logits, 1.0)
                 loss_dfa = mse(fb_logits, 0.0)
                 loss_da = (loss_dra + loss_dfa) * 0.5

@@ -177,6 +177,11 @@ class SRGAN:
             lr_img, hr_img = batch["lr"][g], batch["hr"][g]
 
             def g_loss(gp):
+                # NOTE: the vmapped fused-forward used by DCGAN/VAE/
+                # CycleGAN was measured on chip for this step and
+                # REJECTED: f32 47.6 vs 57.5 steps/s (-17%), bf16 flat —
+                # batching SRResNet's 24px convs to 2B costs more in
+                # layout than it wins in occupancy. Two applies kept.
                 sr, gmut = self.G.apply(
                     {"params": gp, "batch_stats": gvars["batch_stats"]},
                     lr_img, train=True, mutable=["batch_stats"])

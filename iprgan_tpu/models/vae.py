@@ -100,9 +100,28 @@ class VAE:
             (z, (mean, logvar)), dmut = self.D.apply(
                 {"params": dp, "batch_stats": dbs}, real, train=True,
                 mutable=["batch_stats"], rngs={"reparam": krep})
-            fake, gmut = self.G.apply(
-                {"params": gp, "batch_stats": gbs}, z, train=True,
-                mutable=["batch_stats"])
+            if P.bbox:
+                # one fused decoder forward over [z; trigger(z)] via
+                # vmap: BN statistics stay per-group (instance 0's
+                # mutation is bitwise the plain-z mutation; instance 1's
+                # is discarded = reference DisableBatchNormStats), while
+                # XLA sees one conv stack at batch 2B — this model is
+                # HBM-/overhead-bound, so halving the decoder kernel
+                # count is the win (README VAE limiter section).
+                xwm = P.fn_inp(state["fn_inp"], jax.lax.stop_gradient(z))
+                outs, gmuts = jax.vmap(
+                    lambda zi: self.G.apply(
+                        {"params": gp, "batch_stats": gbs}, zi,
+                        train=True, mutable=["batch_stats"])
+                )(jnp.stack([z, xwm]))
+                fake, gxwm = outs[0], outs[1]
+                gmut = {"batch_stats": jax.tree.map(
+                    lambda a: a[0], gmuts["batch_stats"])}
+            else:
+                fake, gmut = self.G.apply(
+                    {"params": gp, "batch_stats": gbs}, z, train=True,
+                    mutable=["batch_stats"])
+                gxwm = None
 
             kl = jnp.sum((mean ** 2 + jnp.exp(logvar) - 1.0 - logvar) / 2.0) / n
             rec = _bce_sum((fake + 1.0) / 2.0, (real + 1.0) / 2.0) / n
@@ -111,12 +130,8 @@ class VAE:
             aux = {"G/KL": kl, "G/R": rec,
                    "_gbs": gmut["batch_stats"], "_dbs": dmut["batch_stats"]}
             if P.bbox:
-                xwm = P.fn_inp(state["fn_inp"], jax.lax.stop_gradient(z))
                 ywm = jax.lax.stop_gradient(
                     P.fn_out(state["fn_out"], jax.lax.stop_gradient(fake)))
-                gxwm, _ = self.G.apply(
-                    {"params": gp, "batch_stats": gbs}, xwm, train=True,
-                    mutable=["batch_stats"])  # stats frozen (discarded)
                 loss_w = P.loss_fn(gxwm, ywm)
                 total = total + P.lam * loss_w
                 aux[f"P/{P.loss_name.upper()}"] = loss_w
