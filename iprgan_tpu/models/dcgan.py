@@ -27,7 +27,7 @@ simpler recompute form is kept.
 
 With bbox protection both phases run ONE vmapped G forward over the two
 latent groups [z; fn_inp(z)] instead of two batch-B applies: vmap keeps
-the batch statistics per-group (so the math is bitwise the sequential
+the batch statistics per-group (so the math equals the sequential
 form — verified in tests/test_fused_forward.py), XLA sees a single conv
 stack at batch 2B, and because the D-phase and G-phase fused forwards
 are structurally identical they still CSE (cost-analysis FLOPs stay at

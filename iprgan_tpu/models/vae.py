@@ -103,7 +103,7 @@ class VAE:
             if P.bbox:
                 # one fused decoder forward over [z; trigger(z)] via
                 # vmap: BN statistics stay per-group (instance 0's
-                # mutation is bitwise the plain-z mutation; instance 1's
+                # mutation equals the plain-z mutation; instance 1's
                 # is discarded = reference DisableBatchNormStats), while
                 # XLA sees one conv stack at batch 2B — this model is
                 # HBM-/overhead-bound, so halving the decoder kernel
