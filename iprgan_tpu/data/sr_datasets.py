@@ -98,6 +98,31 @@ class SRDataset:
                 work(job)
         return lr, hr
 
+    def park_images(self) -> np.ndarray:
+        """Decode every image once and stack them (N, H, W, 3) uint8 for
+        HBM parking (``dataset.park: true``): random crops then run on
+        device inside the compiled chunk (data/parked.py). Requires a
+        fixed crop size and one common image shape."""
+        if self.size <= 0:
+            raise ValueError("park requires a fixed crop size")
+        if self.arrays is not None:
+            imgs = np.asarray(self.arrays, np.uint8)
+        else:
+            decoded = [self._load(i) for i in range(len(self))]
+            shapes = {im.shape for im in decoded}
+            if len(shapes) != 1:
+                raise ValueError(
+                    f"dataset.park needs uniformly sized images; "
+                    f"{self.name} has {len(shapes)} distinct shapes — "
+                    "pre-resize the corpus or use the streaming path")
+            imgs = np.stack(decoded)
+        if imgs.shape[1] < self.size or imgs.shape[2] < self.size:
+            pad_h = max(0, self.size - imgs.shape[1])
+            pad_w = max(0, self.size - imgs.shape[2])
+            imgs = np.pad(imgs, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                          mode="reflect")
+        return imgs
+
     def iter_eval(self):
         """Yield (lr, hr) uint8 single-image batches, center-cropped to
         a multiple of 4 (reference _4xCenterCrop)."""

@@ -94,6 +94,25 @@ class UnalignedDataset:
                     b[i, g, j] = self._crop(self._load_img("b", ib), rng)
         return a, b
 
+    def park_images(self):
+        """Decode + ``load``-resize every image once per side, stacked
+        for HBM parking (``dataset.park: true``): random crop + flip then
+        run on device inside the compiled chunk (data/parked.py).
+        Requires one common post-resize shape per side (square sources,
+        or a pre-squared corpus)."""
+        stacks = []
+        for side, total in (("a", self.size_a), ("b", self.size_b)):
+            decoded = [self._load_img(side, i) for i in range(total)]
+            shapes = {im.shape for im in decoded}
+            if len(shapes) != 1:
+                raise ValueError(
+                    f"dataset.park needs uniformly sized images; side "
+                    f"{side.upper()} of {self.name} has {len(shapes)} "
+                    "distinct shapes after load-resize — pre-square the "
+                    "corpus or use the streaming path")
+            stacks.append(np.stack(decoded))
+        return tuple(stacks)
+
     def iter_eval(self):
         """(a, b) single-image uint8 batches, in order, center-cropped."""
         n = len(self)

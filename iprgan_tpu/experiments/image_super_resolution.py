@@ -11,6 +11,11 @@ current one); the bicubic 1/4 downscale runs ON DEVICE inside the
 compiled chunk (ops/resize.bicubic_down4, PIL-matching numerics) so the
 1-core host ships only HR uint8 crops. Evaluation keeps the reference's
 host PIL bicubic for metric parity.
+
+``dataset.park: true`` switches to the fully device-resident path for
+corpora that fit HBM (uniform image shape required): the uint8 stack is
+parked once, random crops are sampled inside the chunk
+(data/parked.py), and the host ships nothing per step.
 """
 
 from __future__ import annotations
@@ -55,8 +60,16 @@ class ImageSuperResolution(Experiment):
             size=self.config.dataset.size)
         self._data_rng = np.random.default_rng(self.config.seed)
         self._loader = None  # built lazily once hparams are known
+        # dataset.park: true -> decode once, park the uint8 stack in HBM,
+        # sample crops on device inside the chunk (data/parked.py) —
+        # zero host->device traffic during training.
+        self._parked = bool(self.config.dataset.get("park", False))
+        if self._parked:
+            self.data_device = self.pctx.replicate(
+                jnp.asarray(self.dataset.park_images()))
         print(f"Name: {name.upper()}")
-        print(f"# samples: {len(self.dataset)}\n")
+        print(f"# samples: {len(self.dataset)}"
+              + ("  [parked in HBM]" if self._parked else "") + "\n")
 
     def configure_model(self):
         model_conf = self.config.model
@@ -127,17 +140,38 @@ class ImageSuperResolution(Experiment):
 
         from iprgan_tpu.ops.resize import bicubic_down4
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def chunk(state, hr_u8, rng):
-            def body(state, xs):
-                hr_i, k = xs
-                hr_f = pctx.constrain_batch(
-                    hr_i, axis=1).astype(jnp.float32) / 255.0
-                batch = {"lr": bicubic_down4(hr_f), "hr": hr_f}
-                return step_fn(state, batch, k)
+        if self._parked:
+            from iprgan_tpu.data.parked import crop_batch
 
-            keys = jax.random.split(rng, n)
-            return jax.lax.scan(body, state, (hr_u8, keys))
+            g_iter = model.g_iter
+            bsz = self.config.hparam.bsz
+            s = self.config.dataset.size
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def chunk(state, data_u8, rng):
+                def body(state, key):
+                    kc, kstep = jax.random.split(key)
+                    crops = crop_batch(data_u8, kc, g_iter * bsz, s)
+                    hr_f = pctx.constrain_batch(
+                        crops.reshape(g_iter, bsz, s, s, 3),
+                        axis=1).astype(jnp.float32) / 255.0
+                    batch = {"lr": bicubic_down4(hr_f), "hr": hr_f}
+                    return step_fn(state, batch, kstep)
+
+                keys = jax.random.split(rng, n)
+                return jax.lax.scan(body, state, keys)
+        else:
+            @partial(jax.jit, donate_argnums=(0,))
+            def chunk(state, hr_u8, rng):
+                def body(state, xs):
+                    hr_i, k = xs
+                    hr_f = pctx.constrain_batch(
+                        hr_i, axis=1).astype(jnp.float32) / 255.0
+                    batch = {"lr": bicubic_down4(hr_f), "hr": hr_f}
+                    return step_fn(state, batch, k)
+
+                keys = jax.random.split(rng, n)
+                return jax.lax.scan(body, state, (hr_u8, keys))
 
         self._chunk_fns[key] = chunk
         return chunk
@@ -151,10 +185,14 @@ class ImageSuperResolution(Experiment):
                 n = min(n, boundary - step + 1)
         phase = "pre" if step <= pre else "gan"
 
-        hr = self._fetch(n)
         self.rng, k = jax.random.split(self.rng)
-        self.state, metrics = self._chunk_fn(n, phase)(
-            self.state, self.pctx.shard_batch(hr, axis=2), k)
+        if self._parked:
+            self.state, metrics = self._chunk_fn(n, phase)(
+                self.state, self.data_device, k)
+        else:
+            hr = self._fetch(n)
+            self.state, metrics = self._chunk_fn(n, phase)(
+                self.state, self.pctx.shard_batch(hr, axis=2), k)
         out = {key: np.asarray(v) for key, v in metrics.items()}
 
         if step <= pre <= step + n - 1:

@@ -55,8 +55,18 @@ class ImageTranslation(Experiment):
             crop=self.config.dataset.crop, test=False)
         self._data_rng = np.random.default_rng(self.config.seed)
         self._loader = None
+        # dataset.park: true -> decode+resize once, park both sides'
+        # uint8 stacks in HBM, sample crop+flip on device inside the
+        # chunk (data/parked.py) — zero host->device traffic while
+        # training. Cityscapes at load=143 parks in ~365 MB.
+        self._parked = bool(self.config.dataset.get("park", False))
+        if self._parked:
+            a, b = self.dataset.park_images()
+            self.data_a = self.pctx.replicate(jnp.asarray(a))
+            self.data_b = self.pctx.replicate(jnp.asarray(b))
         print(f"Name: {name.upper()}")
-        print(f"# samples: {len(self.dataset)}\n")
+        print(f"# samples: {len(self.dataset)}"
+              + ("  [parked in HBM]" if self._parked else "") + "\n")
 
         # epoch -> step conversion (reference :38-40)
         n = math.ceil(len(self.dataset) / self.config.hparam.bsz)
@@ -130,30 +140,59 @@ class ImageTranslation(Experiment):
         model = self.model
         pctx = self.pctx
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def chunk(state, a_u8, b_u8, rng):
-            def body(state, xs):
-                a_i, b_i, k = xs
-                batch = {
-                    "real_A": pctx.constrain_batch(
-                        a_i, axis=1).astype(jnp.float32) / 127.5 - 1.0,
-                    "real_B": pctx.constrain_batch(
-                        b_i, axis=1).astype(jnp.float32) / 127.5 - 1.0,
-                }
-                return model.train_step(state, batch, k)
+        if self._parked:
+            from iprgan_tpu.data.parked import crop_batch
 
-            keys = jax.random.split(rng, n)
-            return jax.lax.scan(body, state, (a_u8, b_u8, keys))
+            g_iter = model.g_iter
+            bsz = self.config.hparam.bsz
+            c = self.config.dataset.crop
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def chunk(state, a_stack, b_stack, rng):
+                def sample(stack, key):
+                    crops = crop_batch(stack, key, g_iter * bsz, c,
+                                       flip=True)
+                    crops = pctx.constrain_batch(
+                        crops.reshape(g_iter, bsz, c, c, 3), axis=1)
+                    return crops.astype(jnp.float32) / 127.5 - 1.0
+
+                def body(state, key):
+                    ka, kb, kstep = jax.random.split(key, 3)
+                    batch = {"real_A": sample(a_stack, ka),
+                             "real_B": sample(b_stack, kb)}
+                    return model.train_step(state, batch, kstep)
+
+                keys = jax.random.split(rng, n)
+                return jax.lax.scan(body, state, keys)
+        else:
+            @partial(jax.jit, donate_argnums=(0,))
+            def chunk(state, a_u8, b_u8, rng):
+                def body(state, xs):
+                    a_i, b_i, k = xs
+                    batch = {
+                        "real_A": pctx.constrain_batch(
+                            a_i, axis=1).astype(jnp.float32) / 127.5 - 1.0,
+                        "real_B": pctx.constrain_batch(
+                            b_i, axis=1).astype(jnp.float32) / 127.5 - 1.0,
+                    }
+                    return model.train_step(state, batch, k)
+
+                keys = jax.random.split(rng, n)
+                return jax.lax.scan(body, state, (a_u8, b_u8, keys))
 
         self._chunk_fns[n] = chunk
         return chunk
 
     def train_chunk(self, n: int):
-        a, b = self._fetch(n)
         self.rng, k = jax.random.split(self.rng)
-        self.state, metrics = self._chunk_fn(n)(
-            self.state, self.pctx.shard_batch(a, axis=2),
-            self.pctx.shard_batch(b, axis=2), k)
+        if self._parked:
+            self.state, metrics = self._chunk_fn(n)(
+                self.state, self.data_a, self.data_b, k)
+        else:
+            a, b = self._fetch(n)
+            self.state, metrics = self._chunk_fn(n)(
+                self.state, self.pctx.shard_batch(a, axis=2),
+                self.pctx.shard_batch(b, axis=2), k)
         return {key: np.asarray(v) for key, v in metrics.items()}
 
     # -- checkpointing -----------------------------------------------------

@@ -3,7 +3,10 @@
 Times the real experiment path (host decode/crop -> prefetch thread ->
 device chunk with in-graph bicubic 1/4) and compares against the pure
 device rate on pre-staged data. idle = 1 - t_device / t_e2e is the
-fraction of wall-clock the chip waits on the host.
+fraction of wall-clock the chip waits on the host. A third row times
+the HBM-parked path (``dataset.park: true``, data/parked.py) — crops
+sampled inside the compiled chunk, zero host->device bytes per step —
+whose e2e rate should match pure-device.
 
 Run: python scripts/bench_sr_stream.py
 """
@@ -77,6 +80,20 @@ def main():
     print(f"e2e    : {1 / t_e2e:7.2f} steps/s ({t_e2e * 1e3:.2f} ms/step)")
     print(f"device : {1 / t_dev:7.2f} steps/s ({t_dev * 1e3:.2f} ms/step)")
     print(f"device idle fraction waiting on host: {max(idle, 0):.1%}")
+
+    # parked: same experiment with dataset.park — crops sampled on device
+    config.dataset["park"] = True
+    config.log["path"] = tempfile.mkdtemp()
+    exp_p = get_experiment(config.experiment)(config)
+    exp_p.train_chunk(CHUNK)  # compile
+    t0 = time.perf_counter()
+    for _ in range(N_CHUNKS):
+        m = exp_p.train_chunk(CHUNK)
+    _ = float(m["G/Sum"][-1])
+    t_park = (time.perf_counter() - t0) / (N_CHUNKS * CHUNK)
+    idle_p = 1.0 - t_dev / t_park
+    print(f"parked : {1 / t_park:7.2f} steps/s ({t_park * 1e3:.2f} ms/step)"
+          f" — idle {max(idle_p, 0):.1%}")
 
 
 if __name__ == "__main__":
