@@ -52,9 +52,9 @@ class ImageGeneration(Experiment):
     def configure_dataset(self):
         print("*** DATASET ***")
         name = self.config.dataset.name
-        self.dataset = get_dataset(
-            name, path=self.config.dataset.path,
-            size=self.config.dataset.size)
+        kwargs = {k: v for k, v in self.config.dataset.to_dict().items()
+                  if k != "name"}
+        self.dataset = get_dataset(name, **kwargs)
         # park the dataset in device HBM (uint8), replicated over the mesh
         self.data_device = self.pctx.replicate(
             jnp.asarray(self.dataset.images))

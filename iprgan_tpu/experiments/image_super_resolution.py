@@ -55,9 +55,9 @@ class ImageSuperResolution(Experiment):
     def configure_dataset(self):
         print("*** DATASET ***")
         name = self.config.dataset.name
-        self.dataset = get_dataset(
-            name, path=self.config.dataset.path,
-            size=self.config.dataset.size)
+        kwargs = {k: v for k, v in self.config.dataset.to_dict().items()
+                  if k not in ("name", "park")}
+        self.dataset = get_dataset(name, **kwargs)
         self._data_rng = np.random.default_rng(self.config.seed)
         self._loader = None  # built lazily once hparams are known
         # dataset.park: true -> decode once, park the uint8 stack in HBM,

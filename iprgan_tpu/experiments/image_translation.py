@@ -49,10 +49,9 @@ class ImageTranslation(Experiment):
     def configure_dataset(self):
         print("*** DATASET ***")
         name = self.config.dataset.name
-        self.dataset = get_dataset(
-            name, path=self.config.dataset.path,
-            load=self.config.dataset.load,
-            crop=self.config.dataset.crop, test=False)
+        kwargs = {k: v for k, v in self.config.dataset.to_dict().items()
+                  if k not in ("name", "park")}
+        self.dataset = get_dataset(name, test=False, **kwargs)
         self._data_rng = np.random.default_rng(self.config.seed)
         self._loader = None
         # dataset.park: true -> decode+resize once, park both sides'
