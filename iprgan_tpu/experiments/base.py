@@ -117,7 +117,20 @@ class Experiment(ABC):
         pre = self.config.hparam.get("pretrain_iter", 0) or 0
         return pre + self.config.hparam.iteration
 
-    def start(self):
+    def start(self) -> bool:
+        """Run the training loop. Returns True if it reached the full
+        step budget, False if it stopped early on SIGTERM (preemption).
+
+        Preemption handling: preemptible TPU fleets deliver SIGTERM with
+        a grace window. The handler only sets a flag; the loop finishes
+        the in-flight compiled chunk (host-side dispatch returns long
+        before the device does — the flag is checked after the metrics
+        fetch, which fences), checkpoints the last completed step under
+        the normal rolling name, and returns. Auto-resume then continues
+        from that exact step, so a kill/resume cycle loses zero steps.
+        """
+        import signal
+
         total = self.total_iterations
         freq = self.config.log.freq
         max_chunk = int(self.config.hparam.get("steps_per_call", 100))
@@ -125,6 +138,18 @@ class Experiment(ABC):
         # optional device profiling: log.profile: true traces the first
         # post-warmup chunk into <log.path>/profile for xprof/tensorboard
         profile_at = 2 * max_chunk if self.config.log.get("profile") else -1
+
+        self._preempted = False
+
+        def _on_sigterm(signum, frame):
+            self._preempted = True
+            print("\nSIGTERM: checkpointing at the next chunk boundary "
+                  "...", flush=True)
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread (tests) — no handler
+            prev_handler = None
 
         print("*** TRAINING ***")
         step = self.init_step
@@ -155,9 +180,19 @@ class Experiment(ABC):
                 print(f"step {step - 1}/{total}  {rate:.2f} steps/s")
                 t0, done_since = time.time(), 0
                 self.periodic_checkpoint(step - 1)
+            if self._preempted and step <= total:
+                self.save_checkpoint(step - 1)
+                print(f"preempted at step {step - 1}/{total}; "
+                      "checkpoint saved — rerun to resume")
+                if prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                return False
 
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         self.final_checkpoint()
         print()
+        return True
 
     def final_checkpoint(self):
         self.save_checkpoint(END_SENTINEL)

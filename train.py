@@ -36,7 +36,10 @@ def main(config):
         experiment.load_state_dict(ckpt.load(ckpt_path))
         print(f"From Step: {experiment.init_step}\n")
 
-    experiment.start()
+    if not experiment.start():
+        # preempted (SIGTERM): checkpoint is on disk; skip evaluation —
+        # the resumed run evaluates once it reaches the full budget
+        return
 
     fpath = os.path.join(config.log.path, "metrics.json")
     experiment.evaluate(fpath)
