@@ -41,7 +41,7 @@ def _sidecars(src: str):
         path = os.path.join(src, name)
         if not os.path.isfile(path):
             continue
-        if name == CKPT or name.endswith((".json", ".yaml")) \
+        if name.endswith((".msgpack", ".json", ".yaml")) \
                 or name.startswith("events.out.tfevents"):
             yield name
 
