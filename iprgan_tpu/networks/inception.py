@@ -188,7 +188,13 @@ class InceptionV3FID(nn.Module):
 # ---------------------------------------------------------------------------
 
 def convert_torch_state_dict(sd) -> dict:
-    """Map the pytorch-fid checkpoint onto our flax variable tree."""
+    """Map the pytorch-fid checkpoint onto our flax variable tree.
+
+    Strict: every state-dict key must either be consumed or match a
+    known-ignorable pattern (BN step counters, the aux classifier the
+    FID path never runs) — a silently dropped weight would leave a
+    default-initialized leaf and corrupt every FID/IS number downstream
+    (tests/test_converter_coverage.py pins the full key inventory)."""
     params: dict = {}
     batch_stats: dict = {}
 
@@ -198,14 +204,20 @@ def convert_torch_state_dict(sd) -> dict:
             node = node.setdefault(k, {})
         node[path[-1]] = jnp.asarray(val)
 
+    unconsumed = []
     for key, val in sd.items():
         val = np.asarray(val)
         parts = key.split(".")
+        if key.endswith(".num_batches_tracked") or \
+                parts[0] == "AuxLogits":
+            continue  # torch bookkeeping / train-only aux head
         if parts[0] == "fc":
             if parts[1] == "weight":
                 put(params, ("fc", "kernel"), val.T)
-            else:
+            elif parts[1] == "bias":
                 put(params, ("fc", "bias"), val)
+            else:
+                unconsumed.append(key)
             continue
         # e.g. Mixed_5b.branch1x1.conv.weight / .bn.{weight,bias,
         # running_mean,running_var}
@@ -214,15 +226,23 @@ def convert_torch_state_dict(sd) -> dict:
         if layer == "conv" and leaf == "weight":
             put(params, tuple(module_path) + ("conv", "kernel"),
                 val.transpose(2, 3, 1, 0))  # OIHW -> HWIO
-        elif layer == "bn":
-            if leaf == "weight":
-                put(params, tuple(module_path) + ("bn", "scale"), val)
-            elif leaf == "bias":
-                put(params, tuple(module_path) + ("bn", "bias"), val)
-            elif leaf == "running_mean":
-                put(batch_stats, tuple(module_path) + ("bn", "mean"), val)
-            elif leaf == "running_var":
-                put(batch_stats, tuple(module_path) + ("bn", "var"), val)
+        elif layer == "bn" and leaf in ("weight", "bias", "running_mean",
+                                        "running_var"):
+            tree, name = {
+                "weight": (params, "scale"),
+                "bias": (params, "bias"),
+                "running_mean": (batch_stats, "mean"),
+                "running_var": (batch_stats, "var"),
+            }[leaf]
+            put(tree, tuple(module_path) + ("bn", name), val)
+        else:
+            unconsumed.append(key)
+    if unconsumed:
+        raise ValueError(
+            "inception converter did not consume "
+            f"{len(unconsumed)} state-dict keys (first few: "
+            f"{unconsumed[:5]}) — refusing to emit a partially-mapped "
+            "tree")
     return {"params": params, "batch_stats": batch_stats}
 
 

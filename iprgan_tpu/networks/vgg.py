@@ -35,11 +35,42 @@ for _c in _VGG19_CFG:
         _in_block += 1
 
 
-def load_vgg19_features(path: str, net: "VGG19Feature"):
-    """Convert a torchvision vgg19 state dict (.pth) or a pre-converted
-    .npz into this module's variables. torchvision stores convs at
+def convert_vgg19_state_dict(sd) -> dict:
+    """torchvision vgg19 state dict -> this module's variables.
+    torchvision stores convs at
     features.{0,2,5,7,10,12,14,16,19,21,23,25,28,30,32,34}; we map them
-    in order onto conv0..conv15 (OIHW -> HWIO)."""
+    in order onto conv0..conv15 (OIHW -> HWIO).
+
+    Strict: exactly 16 conv layers, each with weight+bias, and no other
+    ``features.*`` keys — a dropped conv would silently leave a
+    default-initialized layer in the perceptual loss. ``classifier.*``
+    keys are ignored by design (the extractor truncates before them)."""
+    import numpy as np
+
+    conv_ids = sorted(
+        {int(k.split(".")[1]) for k in sd if k.startswith("features.")})
+    n_convs = sum(1 for c in _VGG19_CFG if c != "M")
+    if len(conv_ids) != n_convs:
+        raise ValueError(
+            f"expected {n_convs} conv layers under features.*, found "
+            f"{len(conv_ids)} (ids {conv_ids})")
+    leftover = [k for k in sd
+                if k.startswith("features.")
+                and not (k.split(".")[2] in ("weight", "bias"))]
+    if leftover:
+        raise ValueError(f"unrecognized features.* keys: {leftover[:5]}")
+    params = {}
+    for i, idx in enumerate(conv_ids):
+        w = np.asarray(sd[f"features.{idx}.weight"])
+        b = np.asarray(sd[f"features.{idx}.bias"])
+        params[f"conv{i}"] = {"conv": {
+            "kernel": w.transpose(2, 3, 1, 0), "bias": b}}
+    return {"params": params}
+
+
+def load_vgg19_features(path: str, net: "VGG19Feature"):
+    """Load a torchvision vgg19 state dict (.pth) or a pre-converted
+    .npz as this module's variables."""
     import numpy as np
 
     if path.endswith(".npz"):
@@ -56,15 +87,7 @@ def load_vgg19_features(path: str, net: "VGG19Feature"):
     sd = torch.load(path, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    conv_ids = sorted(
-        {int(k.split(".")[1]) for k in sd if k.startswith("features.")})
-    params = {}
-    for i, idx in enumerate(conv_ids):
-        w = np.asarray(sd[f"features.{idx}.weight"])
-        b = np.asarray(sd[f"features.{idx}.bias"])
-        params[f"conv{i}"] = {"conv": {
-            "kernel": w.transpose(2, 3, 1, 0), "bias": b}}
-    return {"params": params}
+    return convert_vgg19_state_dict(sd)
 
 
 class VGG19Feature(nn.Module):

@@ -89,6 +89,10 @@ class ParallelContext:
         """
         import jax.numpy as jnp
 
+        # one element per mesh device: the length must stay divisible by
+        # the mesh size or make_array_from_callback raises deep inside
+        # jax — keep the contract local and loud
+        assert self.mesh.size == self.n, (self.mesh.size, self.n)
         sh = self.batch_sharding(1, 0)
         ones = np.ones((self.n,), np.float32)
         x = jax.make_array_from_callback(ones.shape, sh, lambda i: ones[i])

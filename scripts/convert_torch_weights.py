@@ -74,17 +74,9 @@ def main():
     elif kind == "fcn8s":
         variables = convert_fcn8s_state_dict(sd)
     else:
-        from iprgan_tpu.utils.torch_convert import conv_w
+        from iprgan_tpu.networks.vgg import convert_vgg19_state_dict
 
-        conv_ids = sorted(
-            {int(k.split(".")[1]) for k in sd if k.startswith("features.")})
-        params = {}
-        for i, idx in enumerate(conv_ids):
-            params[f"conv{i}"] = {"conv": {
-                "kernel": conv_w(sd[f"features.{idx}.weight"]),
-                "bias": sd[f"features.{idx}.bias"],
-            }}
-        variables = {"params": params}
+        variables = convert_vgg19_state_dict(sd)
 
     variables = {k: v for k, v in variables.items()}
     save_npz(dst, variables)

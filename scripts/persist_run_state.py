@@ -7,13 +7,21 @@ NOT guaranteed to persist between driver segments (the 2026-08-19
 segment found ``log/`` and both JAX compile caches gone, losing 124k
 SRGAN steps), so durable progress must live in a git-tracked path.
 
-``snapshot`` copies the rolling ``checkpoint.msgpack`` plus any small
-sidecar files (``metrics.json``, ``config.yaml``, TB event files) from
-``log/<RUN>/`` into ``artifacts/run_state/<RUN>/``; committing that
-directory makes the training progress survive a wipe. ``restore`` is
-the inverse and is a no-op when the live run dir already has a
-checkpoint (never clobber newer on-disk progress with an older
-snapshot).
+``snapshot`` copies the rolling ``checkpoint.msgpack`` plus small
+sidecar files (``metrics.json``, ``config.yaml``) from ``log/<RUN>/``
+into ``artifacts/run_state/<RUN>/``; committing that directory makes
+the training progress survive a wipe. TB event files are NOT
+snapshotted — auto-resume never reads them and they grow tens of MB
+per segment, compounding git history size for nothing (losing a
+segment's TB scalars on a wipe is acceptable; losing steps is not).
+
+``restore`` is the inverse. When the live run dir already has a
+checkpoint, recency decides: an older live checkpoint (stale leftover
+from a partly-restored host) is moved aside to ``checkpoint.msgpack
+.stale`` and replaced by the newer snapshot; a live checkpoint at
+least as new as the snapshot is kept. ``shutil.copy2`` preserves
+mtimes through snapshot/restore round-trips, so the comparison is
+meaningful across wipes.
 
 Usage:
     python scripts/persist_run_state.py snapshot log/SRGAN-COMP-SYNTH-FULL
@@ -36,14 +44,38 @@ def _state_dir(run_dir: str) -> str:
                         os.path.basename(os.path.normpath(run_dir)))
 
 
-def _sidecars(src: str):
+def _check_origin(state_dir: str, run_dir: str) -> None:
+    """The snapshot dir is keyed on basename(run_dir) only; record the
+    full origin path and refuse if a different log root claims it."""
+    marker = os.path.join(state_dir, "origin")
+    origin = os.path.abspath(run_dir)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            recorded = f.read().strip()
+        if recorded != origin:
+            sys.exit(f"snapshot dir {state_dir} belongs to {recorded}, "
+                     f"not {origin}; refusing")
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(origin + "\n")
+
+
+def _sidecars(src: str, include_events: bool):
+    """Small-files-first, checkpoint.msgpack LAST: the checkpoint is the
+    authoritative file, so an interrupted copy sequence never leaves a
+    newer checkpoint beside older sidecars."""
+    names = []
     for name in sorted(os.listdir(src)):
         path = os.path.join(src, name)
-        if not os.path.isfile(path):
+        if not os.path.isfile(path) or name == "origin":
             continue
-        if name.endswith((".msgpack", ".json", ".yaml")) \
-                or name.startswith("events.out.tfevents"):
-            yield name
+        if name.endswith((".msgpack", ".json", ".yaml")):
+            names.append(name)
+        elif include_events and name.startswith("events.out.tfevents"):
+            names.append(name)
+    names.sort(key=lambda n: n == CKPT)  # checkpoint last
+    return names
 
 
 def snapshot(run_dir: str) -> int:
@@ -52,8 +84,13 @@ def snapshot(run_dir: str) -> int:
         print(f"no {CKPT} in {src}; nothing to snapshot", file=sys.stderr)
         return 1
     dst = _state_dir(run_dir)
-    os.makedirs(dst, exist_ok=True)
-    for name in _sidecars(src):
+    _check_origin(dst, run_dir)
+    # drop any events file captured by the pre-round-4 snapshot format
+    for name in os.listdir(dst):
+        if name.startswith("events.out.tfevents"):
+            os.remove(os.path.join(dst, name))
+            print(f"dropped legacy snapshot file {name}")
+    for name in _sidecars(src, include_events=False):
         # copy via a temp name then rename: the trainer may be rewriting
         # checkpoint.msgpack at a chunk boundary while we read it — the
         # rename keeps the snapshot dir always-valid even if this copy
@@ -71,14 +108,27 @@ def snapshot(run_dir: str) -> int:
 def restore(run_dir: str) -> int:
     dst = os.path.abspath(run_dir)
     src = _state_dir(run_dir)
-    if not os.path.isfile(os.path.join(src, CKPT)):
+    snap_ckpt = os.path.join(src, CKPT)
+    live_ckpt = os.path.join(dst, CKPT)
+    if not os.path.isfile(snap_ckpt):
         print(f"no snapshot under {src}; nothing to restore")
         return 0
-    if os.path.isfile(os.path.join(dst, CKPT)):
-        print(f"{dst} already has {CKPT}; refusing to clobber live state")
-        return 0
+    _check_origin(src, run_dir)
+    if os.path.isfile(live_ckpt):
+        live_m, snap_m = os.path.getmtime(live_ckpt), \
+            os.path.getmtime(snap_ckpt)
+        print(f"live {CKPT}: {os.path.getsize(live_ckpt):,} bytes, "
+              f"mtime {live_m:.0f}; snapshot: "
+              f"{os.path.getsize(snap_ckpt):,} bytes, mtime {snap_m:.0f}")
+        if live_m >= snap_m:
+            print("live checkpoint is at least as new; keeping it")
+            return 0
+        stale = live_ckpt + ".stale"
+        os.replace(live_ckpt, stale)
+        print(f"live checkpoint OLDER than snapshot: moved to {stale}, "
+              "restoring the newer snapshot")
     os.makedirs(dst, exist_ok=True)
-    for name in _sidecars(src):
+    for name in _sidecars(src, include_events=True):
         shutil.copy2(os.path.join(src, name), os.path.join(dst, name))
         print(f"restore {name}")
     print(f"restored {src} -> {dst}")

@@ -10,11 +10,13 @@ into the run's metrics.json.
 
 The FCN-8s network is implemented here in flax (VGG16 backbone + skip
 fusion from pool3/pool4 with learned upsampling). Weights must be
-supplied offline (--weights, a .npz produced by
-scripts/convert_torch_weights.py from any published FCN-8s-Cityscapes
-checkpoint); without weights the script refuses to score (random
-segmentation numbers would be meaningless) unless --allow-random is
-passed for smoke testing.
+supplied offline via --weights, either the published
+``fcn-8s-cityscapes.caffemodel`` directly (parsed without the Caffe
+runtime by iprgan_tpu/utils/caffemodel.py) or a .npz produced by
+scripts/convert_torch_weights.py from a torch FCN-8s checkpoint;
+without weights the script refuses to score (random segmentation
+numbers would be meaningless) unless --allow-random is passed for
+smoke testing.
 
 Usage:
   python scripts/run_fcn.py --log log/CycleGAN-COMP-CITY-A \
@@ -148,7 +150,7 @@ def main():
     ap.add_argument("--gt", required=True,
                     help="directory of ground-truth *labelIds.png maps "
                          "(sorted order must match frame order)")
-    ap.add_argument("--weights", default=None, help="FCN-8s .npz weights")
+    ap.add_argument("--weights", default=None, help="FCN-8s weights: .caffemodel or .npz")
     ap.add_argument("--subdir", default="samples",
                     help="samples subdir (or an attack_mode name)")
     ap.add_argument("--allow-random", action="store_true")
@@ -166,10 +168,17 @@ def main():
     assert gts, f"no ground truth under {args.gt}"
 
     if args.weights and os.path.exists(args.weights):
-        import pickle
+        if args.weights.endswith(".caffemodel"):
+            # the published artifact, read directly (reference
+            # scripts/run.py:16-20 loads it through the Caffe runtime)
+            from iprgan_tpu.utils.caffemodel import fcn8s_variables
 
-        with np.load(args.weights, allow_pickle=True) as data:
-            variables = pickle.loads(data["variables"].tobytes())
+            variables = fcn8s_variables(args.weights)
+        else:
+            import pickle
+
+            with np.load(args.weights, allow_pickle=True) as data:
+                variables = pickle.loads(data["variables"].tobytes())
         net = build_fcn8s(*arch_of(variables))
     else:
         if not args.allow_random:

@@ -12,6 +12,8 @@ import yaml
 from iprgan_tpu.utils import checkpoint as ckpt
 from tests.test_dcgan_train import make_config, make_watermark
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 @pytest.fixture(autouse=True)
 def fake_inception(monkeypatch):

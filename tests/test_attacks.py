@@ -9,6 +9,8 @@ import pytest
 from iprgan_tpu.config import Config
 from tests.test_dcgan_train import make_config, make_watermark
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 def test_prune_module_zeroes_below_percentile():
     from prune import prune_module

@@ -6,6 +6,9 @@ import subprocess
 import sys
 
 import yaml
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
 
 
 def _run(args, cwd):

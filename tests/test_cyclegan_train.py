@@ -11,6 +11,8 @@ from iprgan_tpu.config import Config
 from iprgan_tpu.models.cyclegan import pool_query
 from tests.test_dcgan_train import make_watermark
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 def make_cg_config(tmp_path, epochs=2):
     wm = make_watermark(tmp_path)

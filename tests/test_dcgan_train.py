@@ -10,6 +10,8 @@ import pytest
 
 from iprgan_tpu.config import Config
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 def make_watermark(tmp_path):
     from PIL import Image

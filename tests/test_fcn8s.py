@@ -24,6 +24,8 @@ from scripts.convert_torch_weights import (  # noqa: E402
 )
 from scripts.run_fcn import arch_of, build_fcn8s, score  # noqa: E402
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 N_CLASS, WIDTHS, FC_DIM = 5, (4, 8, 16, 24, 24), 16
 
 
@@ -109,6 +111,56 @@ def test_score_histogram_out_of_range_preds():
     assert hist[0, 0] == 1 and hist[1, 19] == 1 and hist[18, 2] == 1
 
 
+def _fabricate_caffemodel(torch_net, path, v1=True):
+    """Serialize the torch net as a reference-layout caffemodel: caffe
+    Convolution blobs are (out, in, kh, kw) and Deconvolution blobs
+    (in, out, kh, kw) — both bit-identical to the torch layouts — with
+    the deploy.prototxt's fc6_cs/fc7_cs layer names and interleaved
+    blob-free ReLU/Pooling layers."""
+    from iprgan_tpu.utils.caffemodel import write_caffemodel
+
+    sd = {k: v.numpy() for k, v in torch_net.state_dict().items()}
+    upscores = {"upscore2", "upscore_pool4", "upscore8"}
+    aliases = {"fc6": "fc6_cs", "fc7": "fc7_cs"}
+    layers = {}
+    for key in sd:
+        if not key.endswith(".weight"):
+            continue
+        name = key[:-len(".weight")]
+        blobs = [sd[key]]
+        if f"{name}.bias" in sd:
+            blobs.append(sd[f"{name}.bias"])
+        layers[aliases.get(name, name)] = {
+            "type": ("Deconvolution" if name in upscores
+                     else "Convolution"),
+            "blobs": blobs,
+        }
+        layers[f"relu_{name}"] = {"type": "ReLU", "blobs": []}
+    write_caffemodel(path, layers, v1=v1)
+
+
+def test_caffemodel_forward_matches_torch(tmp_path, torch_net):
+    """The reference's published artifact path: .caffemodel bytes ->
+    fcn8s_variables -> flax forward == the torch forward."""
+    import jax.numpy as jnp
+
+    from iprgan_tpu.utils.caffemodel import fcn8s_variables
+
+    path = str(tmp_path / "fcn8s.caffemodel")
+    _fabricate_caffemodel(torch_net, path, v1=True)
+    variables = fcn8s_variables(path)
+    assert arch_of(variables) == (N_CLASS, WIDTHS, FC_DIM)
+    net = build_fcn8s(*arch_of(variables))
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 48, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_net(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    out = np.asarray(net.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
 def test_run_fcn_e2e_with_converted_weights(tmp_path, torch_net):
     from PIL import Image
 
@@ -145,3 +197,17 @@ def test_run_fcn_e2e_with_converted_weights(tmp_path, torch_net):
     cs = metrics["cityscapes"]
     for key in ("PIXEL_ACC", "CLASS_ACC", "CLASS_IOU"):
         assert 0.0 <= float(cs[key]) <= 1.0
+
+    # same smoke set scored straight off the published artifact format
+    # (reference scripts/run.py:16-20) — identical weights, so identical
+    # numbers; the forward is already in the shared compile cache
+    caffemodel = str(tmp_path / "fcn8s.caffemodel")
+    _fabricate_caffemodel(torch_net, caffemodel, v1=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_fcn.py"),
+         "--log", str(tmp_path / "log"), "--gt", str(gt_dir),
+         "--weights", caffemodel],
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr
+    cs2 = json.load(open(tmp_path / "log" / "metrics.json"))["cityscapes"]
+    assert cs2 == cs

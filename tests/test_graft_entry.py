@@ -5,6 +5,9 @@ warm — the first cold compile of the 8-way chunk takes ~30 min on this
 
 import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
 
 
 def test_entry_compiles_and_runs():

@@ -40,6 +40,8 @@ from tests.test_reference_checkpoint import (  # noqa: E402
     t_resnet_generator,
 )
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 def _module_sd(net):
     return {f"module.{k}": v for k, v in np_sd(net).items()}

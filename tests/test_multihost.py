@@ -55,6 +55,9 @@ import faulthandler, json, os, pathlib, sys, tempfile
 faulthandler.enable()
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -8,6 +8,8 @@ import pytest
 
 from tests.test_dcgan_train import make_config
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 def _run(tmp_path, ngpu, bsz, iteration, subdir):
     from iprgan_tpu.experiments import get_experiment

@@ -15,6 +15,8 @@ import pytest
 from tests.test_cyclegan_train import make_cg_config
 from tests.test_srgan_train import make_sr_config
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 def test_crop_batch_matches_host_slicing():
     """Every sampled crop must be an exact (possibly h-flipped)

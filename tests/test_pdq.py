@@ -145,3 +145,121 @@ def test_golden_pvalue():
     p = pdq.compute_matching_prob(a, b)
     assert p[0] == 0.0
     np.testing.assert_allclose(p[1], 3.54063697e-03, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Independent spec derivation: a from-scratch transliteration of the
+# published TMK+PDQF pipeline (REC601 luma -> two-pass truncated-border
+# box filter with window (old + 2*64 - 1)//(2*64) -> center-point
+# decimation to 64x64 -> orthonormal DCT-II, frequencies 1..16 -> median
+# threshold) using scipy's DCT and an explicit per-pixel window mean.
+# Bit-exact agreement with iprgan_tpu/ops/pdq.py on the golden images
+# means the goldens pin the SPEC, not one implementation's quirks.
+# ---------------------------------------------------------------------------
+
+
+def _naive_spec_hash(img_u8):
+    from scipy.fft import dct as scipy_dct
+
+    f = img_u8.astype(np.float64)
+    luma = f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+    h, w = luma.shape
+    wy = max(1, (h + 127) // 128)
+    wx = max(1, (w + 127) // 128)
+    buf = luma
+    for _ in range(2):  # nreps = 2
+        for axis, win in ((0, wy), (1, wx)):
+            x = np.moveaxis(buf, axis, 0)
+            n = x.shape[0]
+            lo, hi = win // 2, win - win // 2
+            out = np.empty_like(x)
+            for i in range(n):  # truncated-border window mean
+                out[i] = x[max(0, i - lo):min(n, i + hi)].mean(axis=0)
+            buf = np.moveaxis(out, 0, axis)
+    yi = np.minimum(((np.arange(64) + 0.5) * h / 64).astype(int), h - 1)
+    xi = np.minimum(((np.arange(64) + 0.5) * w / 64).astype(int), w - 1)
+    block = buf[np.ix_(yi, xi)]
+    d = scipy_dct(scipy_dct(block, axis=0, norm="ortho"),
+                  axis=1, norm="ortho")[1:17, 1:17]
+    return (d > np.median(d)).reshape(-1)
+
+
+def test_spec_independent_derivation():
+    imgs = _golden_images()
+    ours = pdq.compute_hash(imgs, use_native=False)
+    for i, im in enumerate(imgs):
+        assert np.array_equal(ours[i], _naive_spec_hash(im)), f"image {i}"
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-quality properties on photo-like content. The golden images
+# above are deliberately smooth (tie-break-free), which makes them
+# DEGENERATE for stability: most of their 16x16 DCT coefficients are
+# ~zero, so bits near the median flip freely under resampling. These
+# multi-scale images (1/f spectrum + hard edges) exercise the property
+# PDQ is built for: hashes survive rescaling, distinct images differ.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def photo_like():
+    rng = np.random.default_rng(42)
+    size = 256
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) / size
+    imgs = []
+    for _ in range(6):
+        im = np.zeros((size, size, 3))
+        for p in range(0, 25, 2):  # 1/f-ish spectrum up to order 24
+            for q in range(0, 25, 2):
+                if p == q == 0:
+                    continue
+                amp = 1.0 / (p * p + q * q) ** 0.75
+                ph1, ph2 = rng.uniform(0, 2 * np.pi, 2)
+                basis = (np.cos(2 * np.pi * p * yy + ph1)
+                         * np.cos(2 * np.pi * q * xx + ph2))
+                im += amp * basis[..., None] * rng.normal(size=3)
+        for _ in range(4):  # hard-edged rectangles
+            y0, x0 = rng.integers(0, size - 40, 2)
+            hgt, wid = rng.integers(20, 80, 2)
+            im[y0:y0 + hgt, x0:x0 + wid] += rng.normal(size=3) * 0.5
+        lo, hi = im.min(), im.max()
+        imgs.append((im - lo) / (hi - lo) * 255.0)
+    return np.stack(imgs).astype(np.uint8)
+
+
+def test_downscale_stability(photo_like):
+    """Rescaling is the canonical PDQ-preserving transform (the whole
+    pipeline starts by downsampling to 64x64). Observed distances on
+    these images: 2-28 bits; threshold 48 = match p-value < 1e-26."""
+    from PIL import Image
+
+    base = pdq.compute_hash(photo_like, use_native=False)
+    for size in (512, 192, 128, 96, 64):
+        scaled = np.stack([
+            np.asarray(Image.fromarray(im).resize((size, size),
+                                                  Image.BICUBIC))
+            for im in photo_like])
+        dist = np.logical_xor(
+            base, pdq.compute_hash(scaled, use_native=False)).sum(axis=1)
+        assert np.all(dist <= 48), (size, dist)
+
+
+def test_distinct_images_near_random_distance(photo_like):
+    h = pdq.compute_hash(photo_like, use_native=False)
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            d = np.logical_xor(h[i], h[j]).sum()
+            assert 90 <= d <= 166, (i, j, d)
+
+
+def test_brightness_contrast_invariance(photo_like):
+    """DC exclusion + median threshold make the hash invariant to
+    affine luma changes (up to uint8 rounding)."""
+    im = photo_like[0]
+    h0 = pdq.compute_hash(im[None], use_native=False)[0]
+    bright = np.clip(im.astype(int) + 24, 0, 235).astype(np.uint8)
+    contr = np.clip(im.astype(np.float64) * 0.8 + 20, 0, 255).astype(
+        np.uint8)
+    for variant in (bright, contr):
+        hv = pdq.compute_hash(variant[None], use_native=False)[0]
+        assert np.logical_xor(h0, hv).sum() <= 24

@@ -2,8 +2,9 @@
 
 Pure file-level behavior — no jax. Guards the cross-segment durability
 protocol in CLAUDE.md: snapshot copies the rolling checkpoint + small
-sidecars into a tracked dir; restore is the inverse and never clobbers
-newer live state.
+sidecars into a tracked dir (checkpoint LAST, no TB events); restore is
+recency-aware — it keeps live state that is at least as new as the
+snapshot and replaces stale live state (moving it aside) otherwise.
 """
 import importlib.util
 import os
@@ -34,11 +35,31 @@ def run_dir(tmp_path, monkeypatch):
 def test_snapshot_copies_checkpoint_and_sidecars(run_dir):
     assert prs.snapshot(str(run_dir)) == 0
     dst = prs._state_dir(str(run_dir))
+    # no TB events in the snapshot (repo-size guard) and an origin marker
     assert sorted(os.listdir(dst)) == [
-        "checkpoint.msgpack", "events.out.tfevents.123.host",
-        "metrics.json"]
+        "checkpoint.msgpack", "metrics.json", "origin"]
     with open(os.path.join(dst, "checkpoint.msgpack"), "rb") as f:
         assert f.read() == b"ckpt-v1"
+    with open(os.path.join(dst, "origin")) as f:
+        assert f.read().strip() == str(run_dir)
+
+
+def test_snapshot_drops_legacy_events_files(run_dir):
+    # pre-round-4 snapshots included TB event files; a new snapshot
+    # removes them from the tracked dir
+    dst = prs._state_dir(str(run_dir))
+    os.makedirs(dst)
+    with open(os.path.join(dst, "events.out.tfevents.9.host"), "wb") as f:
+        f.write(b"legacy")
+    assert prs.snapshot(str(run_dir)) == 0
+    assert not any(n.startswith("events") for n in os.listdir(dst))
+
+
+def test_sidecar_order_copies_checkpoint_last(run_dir):
+    names = prs._sidecars(str(run_dir), include_events=False)
+    assert names[-1] == "checkpoint.msgpack"
+    assert "events.out.tfevents.123.host" not in names
+    assert "samples.png" not in names
 
 
 def test_snapshot_without_checkpoint_fails(run_dir):
@@ -57,12 +78,40 @@ def test_restore_roundtrip_into_wiped_run_dir(run_dir):
     assert (run_dir / "metrics.json").exists()
 
 
-def test_restore_never_clobbers_live_checkpoint(run_dir):
+def test_restore_keeps_newer_live_checkpoint(run_dir):
     prs.snapshot(str(run_dir))
-    # the live run advanced past the snapshot
-    (run_dir / "checkpoint.msgpack").write_bytes(b"ckpt-v2-newer")
+    # the live run advanced past the snapshot (copy2 preserved the
+    # snapshot's mtime, so the rewritten live file is strictly newer)
+    live = run_dir / "checkpoint.msgpack"
+    live.write_bytes(b"ckpt-v2-newer")
+    snap = os.path.join(prs._state_dir(str(run_dir)), "checkpoint.msgpack")
+    os.utime(live, (os.path.getmtime(snap) + 10,) * 2)
     assert prs.restore(str(run_dir)) == 0
-    assert (run_dir / "checkpoint.msgpack").read_bytes() == b"ckpt-v2-newer"
+    assert live.read_bytes() == b"ckpt-v2-newer"
+
+
+def test_restore_replaces_stale_live_checkpoint(run_dir):
+    prs.snapshot(str(run_dir))
+    # a stale leftover live checkpoint OLDER than the snapshot (e.g. a
+    # partially-restored host) must not shadow the newer snapshot
+    live = run_dir / "checkpoint.msgpack"
+    live.write_bytes(b"ckpt-v0-stale")
+    os.utime(live, (1, 1))
+    assert prs.restore(str(run_dir)) == 0
+    assert live.read_bytes() == b"ckpt-v1"
+    assert (run_dir / "checkpoint.msgpack.stale").read_bytes() == \
+        b"ckpt-v0-stale"
+
+
+def test_origin_mismatch_refuses(run_dir, tmp_path):
+    prs.snapshot(str(run_dir))
+    other = tmp_path / "otherroot" / "RUN-X"
+    other.mkdir(parents=True)
+    (other / "checkpoint.msgpack").write_bytes(b"x")
+    with pytest.raises(SystemExit):
+        prs.snapshot(str(other))
+    with pytest.raises(SystemExit):
+        prs.restore(str(other))
 
 
 def test_restore_with_no_snapshot_is_noop(run_dir, tmp_path):

@@ -9,6 +9,8 @@ import pytest
 
 from tests.test_dcgan_train import make_config
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 @pytest.fixture(autouse=True)
 def fake_inception(monkeypatch):

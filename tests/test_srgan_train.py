@@ -8,6 +8,8 @@ import pytest
 from iprgan_tpu.config import Config
 from tests.test_dcgan_train import make_watermark
 
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
+
 
 def make_sr_config(tmp_path, pretrain=2, iteration=4):
     wm = make_watermark(tmp_path)

@@ -4,6 +4,9 @@ import numpy as np
 
 from iprgan_tpu.config import Config
 from tests.test_dcgan_train import make_watermark
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
 
 
 def make_vae_config(tmp_path, protection=True):

@@ -5,6 +5,9 @@ import numpy as np
 
 from iprgan_tpu.config import Config
 from tests.test_dcgan_train import make_watermark
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from the fast tier (-m "not heavy")
 
 
 def _config(tmp_path, fn_inp, loss_fn):
