@@ -360,7 +360,12 @@ def main():
         # every README perf row (f32 AND bf16, all four families) comes
         # from this loop so the table is reproducible from one command
         workloads = {}
-        for name, fn in (("vae_32px_bsz64_complete", bench_vae),
+        # VAE at chunk 1000: the limiter grid (bench_vae_limiter.json)
+        # measured 4748 steps/s at chunk=1000 vs 3668 at chunk=200 —
+        # the 32px VAE step is dispatch-bound, so the bench row reports
+        # the tuned chunking the budget config should use
+        for name, fn in (("vae_32px_bsz64_complete",
+                          lambda **kw: bench_vae(chunk_steps=1000, **kw)),
                          ("srgan_96px_bsz16_gan_phase", bench_srgan),
                          ("srgan_96px_bsz16_pretrain",
                           lambda **kw: bench_srgan(phase="pretrain", **kw)),

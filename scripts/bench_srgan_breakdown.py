@@ -69,6 +69,102 @@ def _cost(bsz, dtype=None):
     return compiled_cost(chunk, state, data, jax.random.PRNGKey(1))
 
 
+def component_rows(bsz=16):
+    """Per-component fwd+bwd timing of the SRResNet pretrain step at the
+    reference batch (ablation by parts: the axon tunnel exposes no
+    device trace). Each component is jitted as grad(sum(module(x)))
+    scanned 50x, timed with the scalar-fetch fence. The components sum
+    close to the full step (XLA fusion across component boundaries is
+    small here), so the ranking attributes the 12% MFU.
+
+    Probes:
+      tail_conv9_64to3   the shipped tail (96px, 3 output channels —
+                         3/128 MXU lane occupancy suspect)
+      tail_conv9_64to32  same conv with 32 output channels: if ms/step
+                         barely moves, the tail pays for padded lanes
+                         and the 3-channel conv wastes ~10x its FLOPs
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from iprgan_tpu.networks.sr_resnet import _ResBlock
+
+    class Body(nn.Module):
+        n: int = 16
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            for i in range(self.n):
+                x = _ResBlock(name=f"b{i}")(x, train=train)
+            return x
+
+    class Ups(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            for i in range(2):
+                x = nn.Conv(256, (3, 3), name=f"up{i}")(x)
+                b, h, w, c = x.shape
+                x = x.reshape(b, h, w, c // 4, 2, 2).transpose(
+                    0, 1, 4, 2, 5, 3).reshape(b, h * 2, w * 2, c // 4)
+                x = nn.PReLU()(x)
+            return x
+
+    def conv(ch, k):
+        class C(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=True):
+                return nn.Conv(ch, (k, k))(x)
+        return C()
+
+    comps = [
+        ("head_conv9_3to64_24px", conv(64, 9), (bsz, 24, 24, 3)),
+        ("body_16blocks_24px", Body(), (bsz, 24, 24, 64)),
+        ("ups_2xpixelshuffle", Ups(), (bsz, 24, 24, 64)),
+        ("tail_conv9_64to3_96px", conv(3, 9), (bsz, 96, 96, 64)),
+        ("tail_conv9_64to32_96px", conv(32, 9), (bsz, 96, 96, 64)),
+    ]
+    rows = []
+    for name, mod, shape in comps:
+        x = jnp.ones(shape, jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+        has_bn = "batch_stats" in variables
+
+        def loss(v, x, has_bn=has_bn, mod=mod):
+            if has_bn:
+                out, _ = mod.apply(v, x, train=True,
+                                   mutable=["batch_stats"])
+            else:
+                out = mod.apply(v, x)
+            return jnp.sum(out ** 2)
+
+        @jax.jit
+        def chunk(v, x, loss=loss):
+            def body(carry, _):
+                # grad at the CARRY (not the invariant arg) so XLA
+                # cannot hoist the whole grad out of the loop
+                g = jax.grad(loss)(carry, x)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a + 0.0 * b, carry, g), None
+            out, _ = jax.lax.scan(body, v, None, length=50)
+            return out
+
+        warm = chunk(variables, x)
+        # fence: fetch one scalar (block_until_ready does not block on
+        # the axon tunnel)
+        float(jax.tree_util.tree_leaves(warm)[0].reshape(-1)[0])
+        t0 = time.perf_counter()
+        out = chunk(warm, x)
+        float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        dt = time.perf_counter() - t0
+        rows.append({"variant": f"component_{name}",
+                     "ms_per_step": round(dt / 50 * 1e3, 3)})
+        print(rows[-1])
+    return rows
+
+
 def main():
     import jax.numpy as jnp
 
@@ -111,6 +207,8 @@ def main():
           f"{t - by['no_wbox_bsz16_f32']['ms_per_step']:.3f}")
     print(f"  in-chunk bicubic /4   "
           f"{by['with_resize_bsz16_f32']['ms_per_step'] - t:.3f}")
+
+    rows.extend(component_rows(16))
 
     for tag, bsz in (("bsz16", 16), ("bsz64", 64)):
         cost = _cost(bsz)
