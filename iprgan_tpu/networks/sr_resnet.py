@@ -22,6 +22,49 @@ from iprgan_tpu.nn import (
     kaiming_normal_fan_in,
     pixel_shuffle,
 )
+from iprgan_tpu.nn.layers import torch_bias_init
+
+
+class _BlockedTailInner(nn.Module):
+    """Param-tree twin of the flax ``nn.Conv`` inside the ``Conv``
+    wrapper (same scope name 'conv', same 'kernel'/'bias' names, same
+    shapes and initializers — so checkpoints are interchangeable and
+    the init RNG stream produces bit-identical values), computing the
+    conv through ops/blocked_conv.blocked_conv_s2d."""
+
+    features: int
+    kernel_size: int
+    kernel_init: Any
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        fan_in = cin * k * k
+        w = self.param("kernel", self.kernel_init,
+                       (k, k, cin, self.features))
+        b = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
+        from iprgan_tpu.ops.blocked_conv import blocked_conv_s2d
+
+        return blocked_conv_s2d(x, w, b, block=4)
+
+
+class _BlockedTail(nn.Module):
+    """Scope twin of the ``Conv`` wrapper: child module named 'conv' so
+    the param path is <name>/conv/{kernel,bias} exactly like Conv's."""
+
+    features: int
+    kernel_size: int
+    kernel_init: Any
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _BlockedTailInner(self.features, self.kernel_size,
+                                 self.kernel_init, dtype=self.dtype,
+                                 name="conv")(x)
 
 
 class _ResBlock(nn.Module):
@@ -44,6 +87,13 @@ class _ResBlock(nn.Module):
 class SRResNet(nn.Module):
     n_block: int = 16
     dtype: Any = None
+    # MXU lane-occupancy fix for the 64->3 conv9 tail (the only conv in
+    # the net whose output channels < 8): compute it space-to-depth
+    # blocked (ops/blocked_conv.py) whenever the SR frame divides by 4.
+    # Numerically the same linear map (same taps/weights; fp summation
+    # order differs as with any layout change); params are identical
+    # either way, so checkpoints don't care.
+    tail_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -67,8 +117,13 @@ class SRResNet(nn.Module):
             x = pixel_shuffle(x, 2)
             x = PReLU(name=f"up{i}_act")(x)
 
-        x = Conv(3, 9, 1, padding=4, kernel_init=kaiming_normal_fan_in(1.0),
-                 dtype=self.dtype, name="tail")(x)
+        if self.tail_s2d and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            x = _BlockedTail(3, 9, kaiming_normal_fan_in(1.0),
+                             dtype=self.dtype, name="tail")(x)
+        else:  # odd eval frame sizes (Set5/Set14) take the plain conv
+            x = Conv(3, 9, 1, padding=4,
+                     kernel_init=kaiming_normal_fan_in(1.0),
+                     dtype=self.dtype, name="tail")(x)
         return x.astype(jnp.float32)
 
 
