@@ -23,67 +23,12 @@ BSZ = 64
 CHUNK = 200
 
 
-@contextlib.contextmanager
 def _pause_trainers():
-    """SIGSTOP any live ``train.py`` budget trainer for the duration of
-    the benchmark, SIGCONT on exit.
+    """Quiet chip+core for the measurement: see utils/quiesce.py."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from iprgan_tpu.utils.quiesce import pause_trainers
 
-    The driver runs bench.py at end-of-round on the single real chip;
-    the multi-segment full-budget runs (CLAUDE.md) may still be
-    training on it, which would roughly halve every measured rate.
-    Stopping the host process lets the in-flight scan chunk drain
-    (seconds at the budget configs' steps_per_call) and then the chip
-    is quiet; SIGCONT resumes training with zero lost steps.
-
-    Matching is deliberately narrow — a process whose argv[0] is a
-    python interpreter AND argv[1] basename is exactly ``train.py`` —
-    never a shell pattern match (a wrapper shell's command string also
-    contains "train.py"), and never any pid in our own ancestry.
-    """
-    import signal
-
-    ancestors = set()
-    pid = os.getpid()
-    while pid > 1:
-        ancestors.add(pid)
-        try:
-            with open(f"/proc/{pid}/stat") as f:
-                pid = int(f.read().split(")")[-1].split()[1])
-        except (OSError, ValueError, IndexError):
-            break
-
-    trainers = []
-    for entry in os.listdir("/proc"):
-        if not entry.isdigit() or int(entry) in ancestors:
-            continue
-        try:
-            with open(f"/proc/{entry}/cmdline", "rb") as f:
-                argv = f.read().split(b"\0")
-        except OSError:
-            continue
-        if (len(argv) >= 2
-                and os.path.basename(argv[0]).startswith(b"python")
-                and os.path.basename(argv[1]) == b"train.py"):
-            trainers.append(int(entry))
-
-    for t in trainers:
-        try:
-            os.kill(t, signal.SIGSTOP)
-            print(f"bench: paused trainer pid {t} (SIGCONT on exit)",
-                  file=sys.stderr)
-        except OSError:
-            pass
-    if trainers:
-        time.sleep(20)  # let the in-flight device chunk drain
-    try:
-        yield
-    finally:
-        for t in trainers:
-            try:
-                os.kill(t, signal.SIGCONT)
-                print(f"bench: resumed trainer pid {t}", file=sys.stderr)
-            except OSError:
-                pass
+    return pause_trainers()
 
 
 def _time_chunk(chunk, state, data, fence_key, chunk_steps, n_chunks=2):
