@@ -1,7 +1,6 @@
 """Driver entry points: single-chip forward compile and the 8-device
-multichip dry run (also keeps the driver's exact compile-cache keys
-warm — the first cold compile of the 8-way chunk takes ~30 min on this
-1-core host)."""
+multichip dry run (cold-cache-proof since r04: bare-step pjit, ~2 min
+for both family stages on this 1-core host; see __graft_entry__.py)."""
 
 import jax
 import numpy as np
