@@ -9,6 +9,13 @@ watermark and reset the input trigger; drop white-box; same lr/iteration
 changes. After the attack run, the attacker's fn_inp/fn_out are merged
 into the victim checkpoint under ``fn_*_ov`` keys and the ORIGINAL config
 (the owner's verification pipeline) is evaluated on the attacked weights.
+
+Unlike the reference, attack runs are preemption-safe: the underlying
+experiment driver checkpoints into the attack log dir on SIGTERM, and
+rerunning the same attack command auto-resumes from that rolling
+checkpoint instead of re-injecting the victim's weights — budget-scale
+attacks (100k+ steps) survive host/segment boundaries. The merge+eval
+stage only runs once the attack reaches its full step budget.
 """
 
 import argparse
@@ -74,22 +81,38 @@ def main(config, args):
     keys_d = [k for k in exp_state_dict if re.match(r"D", k)]
 
     attack_experiment = Experiment(alt_config)
-    state_dict = {"step": 0}
-    for key in keys_g:
-        state_dict[key] = exp_state_dict[key]
-    if args.load_discriminator:
-        for key in keys_d:
+    attack_ckpt = os.path.join(alt_config.log.path, ckpt.CKPT_NAME)
+    if os.path.exists(attack_ckpt):
+        # Auto-resume a preempted attack run: the attack log dir's own
+        # rolling checkpoint carries the attacker's weights, optimizer
+        # state and step counter — re-injecting the victim's weights
+        # here would silently restart the attack from scratch.
+        attack_sd = ckpt.load(attack_ckpt)
+        attack_experiment.load_state_dict(attack_sd, strict=False)
+        print(f"Resuming attack from step {attack_sd.get('step')} "
+              f"({attack_ckpt})")
+    else:
+        state_dict = {"step": 0}
+        for key in keys_g:
             state_dict[key] = exp_state_dict[key]
-    attack_experiment.load_state_dict(state_dict, strict=False)
+        if args.load_discriminator:
+            for key in keys_d:
+                state_dict[key] = exp_state_dict[key]
+        attack_experiment.load_state_dict(state_dict, strict=False)
 
-    if args.mode == "overwrite":
-        # fresh attacker trigger (reference attack.py:66-67)
-        new_state = dict(attack_experiment.state)
-        new_state["fn_inp"] = attack_experiment.model.protection.fn_inp.reset(
-            jax.random.PRNGKey(config.seed + 1))
-        attack_experiment.state = attack_experiment.pctx.replicate(new_state)
+        if args.mode == "overwrite":
+            # fresh attacker trigger (reference attack.py:66-67)
+            new_state = dict(attack_experiment.state)
+            new_state["fn_inp"] = \
+                attack_experiment.model.protection.fn_inp.reset(
+                    jax.random.PRNGKey(config.seed + 1))
+            attack_experiment.state = attack_experiment.pctx.replicate(
+                new_state)
 
-    attack_experiment.start()
+    if not attack_experiment.start():
+        print("attack preempted before reaching its step budget; rerun "
+              "the same attack command to resume — merge+eval deferred")
+        return
 
     for k, v in attack_experiment.state_dict().items():
         if k == "step":  # keep the victim's step counter

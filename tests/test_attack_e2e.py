@@ -74,6 +74,66 @@ def test_attack_overwrite_e2e(tmp_path):
     assert "BBOX" in metrics["synthetic"]
 
 
+def test_attack_finetune_resume(tmp_path, capsys):
+    """A preempted attack run auto-resumes from the attack log dir's own
+    rolling checkpoint instead of re-injecting the victim's weights
+    (budget-scale attacks span host/segment boundaries)."""
+    import re
+
+    import attack
+    from iprgan_tpu.experiments import get_experiment
+
+    config = make_config(tmp_path, iteration=4, freq=2)
+    exp = get_experiment(config.experiment)(config)
+    exp.start()
+    victim = ckpt.load(os.path.join(config.log.path, ckpt.CKPT_NAME))
+
+    # simulate a preempted attack: set up the attack experiment exactly
+    # as attack.main does (victim G injected, step 0), then checkpoint
+    # at step 1 of the 2-step attack budget (iteration 4 // 2)
+    alt = attack.update_finetune_config(config.copy(),
+                                        load_discriminator=False)
+    pre = get_experiment(alt.experiment)(alt)
+    restored = {"step": 0}
+    for key in victim:
+        if re.match(r"G", key):
+            restored[key] = victim[key]
+    pre.load_state_dict(restored, strict=False)
+    pre.save_checkpoint(1)
+
+    args = argparse.Namespace(mode="finetune", load_discriminator=False,
+                              watermark=None, log=config.log.path)
+    attack.main(config.copy(), args)
+    assert "Resuming attack from step 1" in capsys.readouterr().out
+
+    # the resumed run completed the remaining budget and ran merge+eval
+    ft_log = os.path.abspath(config.log.path) + "-ND-FT"
+    assert ckpt.load(os.path.join(ft_log, ckpt.CKPT_NAME))["step"] == "END"
+    metrics = json.load(open(os.path.join(config.log.path, "metrics.json")))
+    assert "WBOX" in metrics["synthetic"]
+
+
+def test_attack_preempted_defers_merge(tmp_path, monkeypatch):
+    """If the attack run stops early on SIGTERM (start() returns False),
+    the victim checkpoint must NOT be touched — merge+eval only happen
+    once the attack reaches its full step budget."""
+    import attack
+    from iprgan_tpu.experiments import base as exp_base
+
+    config = _train_victim(tmp_path)
+    victim_path = os.path.join(config.log.path, ckpt.CKPT_NAME)
+    before = open(victim_path, "rb").read()
+
+    monkeypatch.setattr(exp_base.Experiment, "start",
+                        lambda self: False)
+    args = argparse.Namespace(mode="finetune", load_discriminator=False,
+                              watermark=None, log=config.log.path)
+    attack.main(config.copy(), args)
+
+    assert open(victim_path, "rb").read() == before
+    assert not os.path.exists(os.path.join(config.log.path, "metrics.json"))
+
+
 # ---------------------------------------------------------------------------
 # CycleGAN: the ^G / ^D regex surgery is most at risk on the multi-key
 # schema (GA/GB/DA/DB/optG/optD/schG/schD/poolA/poolB) — reference
