@@ -10,9 +10,10 @@ device chunk drain (seconds at the budget configs' steps_per_call);
 SIGCONT afterwards resumes training with zero lost steps.
 
 Matching is deliberately narrow — a process whose argv[0] is a python
-interpreter AND argv[1] basename is exactly ``train.py`` — never a
-shell pattern match (a wrapper shell's command string also contains
-"train.py"), and never any pid in our own ancestry.
+interpreter AND argv[1] basename is exactly ``train.py`` or
+``attack.py`` (a budget-scale removal attack is a 100k-step trainer
+too) — never a shell pattern match (a wrapper shell's command string
+also contains "train.py"), and never any pid in our own ancestry.
 """
 
 import contextlib
@@ -34,9 +35,12 @@ def _ancestors() -> set:
     return out
 
 
+TRAINER_BASENAMES = (b"train.py", b"attack.py")
+
+
 def find_trainers() -> list:
-    """Pids of live ``python .../train.py ...`` processes, own ancestry
-    excluded."""
+    """Pids of live ``python .../train.py`` / ``python .../attack.py``
+    processes, own ancestry excluded."""
     skip = _ancestors()
     out = []
     for entry in os.listdir("/proc"):
@@ -49,7 +53,7 @@ def find_trainers() -> list:
             continue
         if (len(argv) >= 2
                 and os.path.basename(argv[0]).startswith(b"python")
-                and os.path.basename(argv[1]) == b"train.py"):
+                and os.path.basename(argv[1]) in TRAINER_BASENAMES):
             out.append(int(entry))
     return out
 

@@ -40,6 +40,20 @@ def test_find_trainers_matches_real_trainer(fake_trainer):
     assert fake_trainer.pid in find_trainers()
 
 
+def test_find_trainers_matches_attack_process(tmp_path):
+    # a budget-scale attack.py run (100k steps) is a trainer too — the
+    # driver's bench/dryrun must pause it like train.py
+    script = tmp_path / "attack.py"
+    script.write_text("import time\ntime.sleep(600)\n")
+    proc = subprocess.Popen([sys.executable, str(script)])
+    time.sleep(0.3)
+    try:
+        assert proc.pid in find_trainers()
+    finally:
+        proc.kill()
+        proc.wait()
+
+
 def test_find_trainers_ignores_shell_mentions(tmp_path):
     # a shell whose -c STRING contains "train.py" must NOT match —
     # argv[0] is a shell, argv[1] is "-c"
