@@ -64,12 +64,18 @@ def main(config, args):
         base_sample_dir = config.get("sample_dir", None)
 
         for percent in range(10, 100, 10):
+            fpath = os.path.join(log, "prune", f"{percent:02d}.json")
+            if os.path.exists(fpath):
+                # resumable sweep: budget-scale evals can straddle a
+                # host/segment boundary — a pct whose JSON already
+                # exists is done (pruning is deterministic per pct)
+                print(f"PRUNE-{percent}: {fpath} exists, skipping")
+                continue
             exp_state_dict = ckpt.load(os.path.join(log, ckpt.CKPT_NAME))
             keys_g = [k for k in exp_state_dict if re.match(r"G", k)]
             for key in keys_g:
                 prune_module(exp_state_dict[key], percent)
 
-            fpath = os.path.join(log, "prune", f"{percent:02d}.json")
             if base_sample_dir:
                 config.sample_dir = os.path.join(base_sample_dir,
                                                  f"{percent:02d}")

@@ -75,12 +75,19 @@ def main(config, args):
                                                  f"{percent:02d}")
                 os.makedirs(config.sample_dir, exist_ok=True)
 
-            config.attack_mode = f"SIGN-{percent}"
-            experiment = get_experiment(config.experiment)(config)
-
             for key in keys_g:
                 flip_signs(exp_state_dict[key], percent, rng)
 
+            if os.path.exists(fpath):
+                # resumable sweep: a pct whose JSON already exists is
+                # done — but flip_signs above must still run so the
+                # sequential rng stream stays identical for the
+                # remaining percents
+                print(f"SIGN-{percent}: {fpath} exists, skipping")
+                continue
+
+            config.attack_mode = f"SIGN-{percent}"
+            experiment = get_experiment(config.experiment)(config)
             experiment.load_state_dict(exp_state_dict, strict=True)
             experiment.evaluate(fpath)
 
