@@ -141,19 +141,45 @@ def cityscapes(path: str, load: int = 143, crop: int = 128,
     return UnalignedDataset(fa, fb, load, crop, test, name="cityscapes")
 
 
+def _blobs(rng, n: int, load: int):
+    """Smooth full-range color blobs: 16x16 random uint8 upscaled."""
+    from PIL import Image
+
+    base = rng.integers(0, 256, (n, 16, 16, 3), dtype=np.uint8)
+    return np.stack([
+        np.asarray(Image.fromarray(im).resize((load + 8, load + 8),
+                                              Image.BILINEAR))
+        for im in base])
+
+
 @DATASETS.register("unaligned_synthetic")
 def unaligned_synthetic(path: str = "", load: int = 70, crop: int = 64,
                         test: bool = False, n: int = 12, **_):
     rng = np.random.default_rng(11)
-    from PIL import Image
-
-    def blobs(seed_shift):
-        base = rng.integers(0, 256, (n, 16, 16, 3), dtype=np.uint8)
-        return np.stack([
-            np.asarray(Image.fromarray(im).resize((load + 8, load + 8),
-                                                  Image.BILINEAR))
-            for im in base])
-
     return UnalignedDataset(None, None, load, crop, test,
-                            arrays_a=blobs(0), arrays_b=blobs(1),
+                            arrays_a=_blobs(rng, n, load),
+                            arrays_b=_blobs(rng, n, load),
                             name="unaligned_synthetic")
+
+
+@DATASETS.register("unaligned_synthetic_color")
+def unaligned_synthetic_color(path: str = "", load: int = 70,
+                              crop: int = 64, test: bool = False,
+                              n: int = 12, **_):
+    """A *learnable* unaligned translation task: domain A = full-color
+    blobs, domain B = desaturated (grayscale) blobs from an independent
+    draw. B->A (the protected generator GB) is colorization; A->B is
+    desaturation. Unlike ``unaligned_synthetic`` — where both domains
+    share one distribution, so the translation objective is degenerate
+    and the budget-scale GAN saturates (see
+    artifacts/full_budget_cyclegan/SUMMARY.md) — this task gives the
+    discriminators a real decision boundary and keeps the generators
+    unsaturated, which is what the black-box trigger branch needs to
+    converge."""
+    rng = np.random.default_rng(13)
+    b = _blobs(rng, n, load)
+    gray = b.mean(axis=-1, keepdims=True).astype(np.uint8)
+    return UnalignedDataset(None, None, load, crop, test,
+                            arrays_a=_blobs(rng, n, load),
+                            arrays_b=np.repeat(gray, 3, axis=-1),
+                            name="unaligned_synthetic_color")
