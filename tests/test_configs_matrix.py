@@ -12,9 +12,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_all_45_configs_parse():
     paths = sorted(glob.glob(os.path.join(ROOT, "configs", "**", "*.yaml"),
                              recursive=True))
-    # configs/full_budget/ holds repo-local run recipes (e.g. the 100k-step
-    # synthetic DCGAN artifact), not part of the reference's 45-config matrix.
-    paths = [p for p in paths if os.sep + "full_budget" + os.sep not in p]
+    # configs/full_budget/ and configs/demos/ hold repo-local run recipes
+    # (budget artifacts, convergence demos), not part of the reference's
+    # 45-config matrix.
+    paths = [p for p in paths
+             if os.sep + "full_budget" + os.sep not in p
+             and os.sep + "demos" + os.sep not in p]
     assert len(paths) == 45
 
     families = {"DCGAN": 0, "VAE": 0, "SRGAN": 0, "CycleGAN": 0}
