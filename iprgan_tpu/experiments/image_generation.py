@@ -301,7 +301,10 @@ class ImageGeneration(Experiment):
                   f"\n\tBBOX: Q_WM {ssim_wm:.4f}  P {p_value:.3e}"
                   f"  MATCH {match}/{sample_size}")
 
-        with open(fpath, "w") as f:
+        # atomic: prune/sign_flip resume sweeps treat an existing per-pct
+        # JSON as done, so a kill mid-write must not leave a truncated file
+        with open(fpath + ".tmp", "w") as f:
             json.dump(metrics, f, indent=2, sort_keys=True)
+        os.replace(fpath + ".tmp", fpath)
         return metrics
 

@@ -303,6 +303,9 @@ class ImageSuperResolution(Experiment):
             print(f"Dataset: {data['name']}  PSNR {psnr:.2f} "
                   f"SSIM {ssim_v:.4f}  WBOX {ber:.4f}")
 
-        with open(fpath, "w") as f:
+        # atomic: prune/sign_flip resume sweeps treat an existing per-pct
+        # JSON as done, so a kill mid-write must not leave a truncated file
+        with open(fpath + ".tmp", "w") as f:
             json.dump(metrics, f, indent=2, sort_keys=True)
+        os.replace(fpath + ".tmp", fpath)
         return metrics

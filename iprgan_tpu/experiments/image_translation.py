@@ -298,6 +298,9 @@ class ImageTranslation(Experiment):
             print(f"Dataset: {data['name']}  WBOX {ber:.4f}  "
                   f"BBOX {entry.get('BBOX')}")
 
-        with open(fpath, "w") as f:
+        # atomic: prune/sign_flip resume sweeps treat an existing per-pct
+        # JSON as done, so a kill mid-write must not leave a truncated file
+        with open(fpath + ".tmp", "w") as f:
             json.dump(metrics, f, indent=2, sort_keys=True)
+        os.replace(fpath + ".tmp", fpath)
         return metrics

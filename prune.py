@@ -76,13 +76,17 @@ def main(config, args):
             for key in keys_g:
                 prune_module(exp_state_dict[key], percent)
 
+            # fresh config per pct: experiment constructors rescale
+            # hparam in place (epoch->step conversion, weak scaling),
+            # so reusing one object compounds the rescale every pct
+            cfg = config.copy()
             if base_sample_dir:
-                config.sample_dir = os.path.join(base_sample_dir,
-                                                 f"{percent:02d}")
-                os.makedirs(config.sample_dir, exist_ok=True)
+                cfg.sample_dir = os.path.join(base_sample_dir,
+                                              f"{percent:02d}")
+                os.makedirs(cfg.sample_dir, exist_ok=True)
 
-            config.attack_mode = f"PRUNE-{percent}"
-            experiment = get_experiment(config.experiment)(config)
+            cfg.attack_mode = f"PRUNE-{percent}"
+            experiment = get_experiment(cfg.experiment)(cfg)
             experiment.load_state_dict(exp_state_dict, strict=True)
             experiment.evaluate(fpath)
 

@@ -78,6 +78,34 @@ def _sidecars(src: str, include_events: bool):
     return names
 
 
+SWEEP_DIRS = ("sign", "prune")
+
+
+def _copy_sweep_jsons(src: str, dst: str, overwrite: bool = True) -> None:
+    """The resumable prune/sign_flip sweeps key off per-pct JSONs under
+    <run>/sign/ and <run>/prune/; carry them so a sweep interrupted by a
+    segment boundary resumes where it stopped instead of from 10%.
+
+    restore passes overwrite=False: a per-pct JSON already present in the
+    live run dir is never clobbered by a (possibly older) snapshot copy.
+    """
+    for sub in SWEEP_DIRS:
+        sdir = os.path.join(src, sub)
+        if not os.path.isdir(sdir):
+            continue
+        ddir = os.path.join(dst, sub)
+        os.makedirs(ddir, exist_ok=True)
+        for name in sorted(os.listdir(sdir)):
+            if not name.endswith(".json"):
+                continue
+            if not overwrite and os.path.exists(os.path.join(ddir, name)):
+                continue
+            tmp = os.path.join(ddir, name + ".tmp")
+            shutil.copy2(os.path.join(sdir, name), tmp)
+            os.replace(tmp, os.path.join(ddir, name))
+            print(f"  {sub}/{name}")
+
+
 def snapshot(run_dir: str) -> int:
     src = os.path.abspath(run_dir)
     if not os.path.isfile(os.path.join(src, CKPT)):
@@ -101,6 +129,7 @@ def snapshot(run_dir: str) -> int:
         os.replace(tmp, os.path.join(dst, name))
         print(f"snapshot {name}: "
               f"{os.path.getsize(os.path.join(dst, name)):,} bytes")
+    _copy_sweep_jsons(src, dst)
     print(f"snapshotted {src} -> {dst}")
     return 0
 
@@ -131,6 +160,7 @@ def restore(run_dir: str) -> int:
     for name in _sidecars(src, include_events=True):
         shutil.copy2(os.path.join(src, name), os.path.join(dst, name))
         print(f"restore {name}")
+    _copy_sweep_jsons(src, dst, overwrite=False)
     print(f"restored {src} -> {dst}")
     return 0
 

@@ -70,10 +70,6 @@ def main(config, args):
             keys_g = [k for k in exp_state_dict if re.match(r"G", k)]
 
             fpath = os.path.join(log, "sign", f"{percent:02d}.json")
-            if base_sample_dir:
-                config.sample_dir = os.path.join(base_sample_dir,
-                                                 f"{percent:02d}")
-                os.makedirs(config.sample_dir, exist_ok=True)
 
             for key in keys_g:
                 flip_signs(exp_state_dict[key], percent, rng)
@@ -86,8 +82,17 @@ def main(config, args):
                 print(f"SIGN-{percent}: {fpath} exists, skipping")
                 continue
 
-            config.attack_mode = f"SIGN-{percent}"
-            experiment = get_experiment(config.experiment)(config)
+            # fresh config per pct: experiment constructors rescale
+            # hparam in place (epoch->step conversion, weak scaling),
+            # so reusing one object compounds the rescale every pct
+            cfg = config.copy()
+            if base_sample_dir:
+                cfg.sample_dir = os.path.join(base_sample_dir,
+                                              f"{percent:02d}")
+                os.makedirs(cfg.sample_dir, exist_ok=True)
+
+            cfg.attack_mode = f"SIGN-{percent}"
+            experiment = get_experiment(cfg.experiment)(cfg)
             experiment.load_state_dict(exp_state_dict, strict=True)
             experiment.evaluate(fpath)
 

@@ -12,12 +12,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_all_45_configs_parse():
     paths = sorted(glob.glob(os.path.join(ROOT, "configs", "**", "*.yaml"),
                              recursive=True))
-    # configs/full_budget/ and configs/demos/ hold repo-local run recipes
-    # (budget artifacts, convergence demos), not part of the reference's
+    # configs/full_budget/, configs/demos/ and configs/perf/ hold
+    # repo-local run recipes (budget artifacts, convergence demos,
+    # measured high-throughput variants), not part of the reference's
     # 45-config matrix.
+    skip_dirs = {"full_budget", "demos", "perf"}
     paths = [p for p in paths
-             if os.sep + "full_budget" + os.sep not in p
-             and os.sep + "demos" + os.sep not in p]
+             if not skip_dirs & set(p.split(os.sep))]
     assert len(paths) == 45
 
     families = {"DCGAN": 0, "VAE": 0, "SRGAN": 0, "CycleGAN": 0}

@@ -114,6 +114,39 @@ def test_origin_mismatch_refuses(run_dir, tmp_path):
         prs.restore(str(other))
 
 
+def test_snapshot_and_restore_carry_sweep_jsons(run_dir):
+    # per-pct prune/sign_flip sweep JSONs must straddle segment wipes so
+    # the resumable sweeps actually resume (ADVICE r04)
+    for sub, done in (("sign", ["10.json", "20.json"]), ("prune", ["10.json"])):
+        (run_dir / sub).mkdir()
+        for n in done:
+            (run_dir / sub / n).write_text('{"WBOX": "0.0"}')
+        (run_dir / sub / "scratch.txt").write_text("not a json")
+    prs.snapshot(str(run_dir))
+    dst = prs._state_dir(str(run_dir))
+    assert sorted(os.listdir(os.path.join(dst, "sign"))) == \
+        ["10.json", "20.json"]
+    assert os.listdir(os.path.join(dst, "prune")) == ["10.json"]
+
+    # wipe + restore brings the sweep state back
+    for f in sorted(run_dir.rglob("*"), reverse=True):
+        f.unlink() if f.is_file() else f.rmdir()
+    run_dir.rmdir()
+    assert prs.restore(str(run_dir)) == 0
+    assert sorted(os.listdir(run_dir / "sign")) == ["10.json", "20.json"]
+
+
+def test_restore_never_clobbers_live_sweep_json(run_dir):
+    (run_dir / "sign").mkdir()
+    (run_dir / "sign" / "10.json").write_text('{"old": 1}')
+    prs.snapshot(str(run_dir))
+    # live sweep advanced past the snapshot after it was taken
+    (run_dir / "sign" / "10.json").write_text('{"new": 2}')
+    (run_dir / "checkpoint.msgpack").write_text("newer")
+    assert prs.restore(str(run_dir)) == 0
+    assert (run_dir / "sign" / "10.json").read_text() == '{"new": 2}'
+
+
 def test_restore_with_no_snapshot_is_noop(run_dir, tmp_path):
     other = tmp_path / "log" / "RUN-Y"
     other.mkdir()

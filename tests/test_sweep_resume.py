@@ -123,4 +123,4 @@ def test_sign_flip_rng_stream_survives_skips(tmp_path, fake_experiment):
 
     assert set(_FakeExp.seen) == {f"SIGN-{p}" for p in range(60, 101, 10)}
     for mode, scale in _FakeExp.seen.items():
-        np.testing.assert_array_equal(scale, full[mode]), mode
+        np.testing.assert_array_equal(scale, full[mode], err_msg=mode)
