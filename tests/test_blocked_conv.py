@@ -60,6 +60,29 @@ def test_rejects_nondivisible():
         blocked_conv_s2d(x, w, block=4)
 
 
+def test_convgenerator_head_paths_identical(rng):
+    """ConvGenerator(head_s2d=True) — the DCGAN 64->3 head computed
+    space-to-depth blocked: same param tree, bit-identical init (scope
+    twin head/convt/kernel), same output up to fp reordering. (A
+    stride-1 k3 p1 ConvTranspose is a SAME conv with the kernel as-is —
+    flax conv_transpose does not mirror the kernel.)"""
+    from iprgan_tpu.networks.conv_generator import ConvGenerator
+
+    z = jnp.asarray(rng.normal(size=(3, 128)), jnp.float32)
+    fast = ConvGenerator(mg=4, head_s2d=True)
+    slow = ConvGenerator(mg=4, head_s2d=False)
+    vf = fast.init(jax.random.PRNGKey(5), z)
+    vs = slow.init(jax.random.PRNGKey(5), z)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), vf, vs)
+    yf, _ = fast.apply(vf, z, mutable=["batch_stats"])
+    ys, _ = slow.apply(vs, z, mutable=["batch_stats"])
+    assert yf.shape == ys.shape == (3, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_srresnet_tail_paths_identical(rng):
     """SRResNet(tail_s2d=True) is the shipped default: same param tree,
     bit-identical init (same scope path -> same RNG folds), same output
