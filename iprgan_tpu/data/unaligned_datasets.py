@@ -183,3 +183,31 @@ def unaligned_synthetic_color(path: str = "", load: int = 70,
                             arrays_a=_blobs(rng, n, load),
                             arrays_b=np.repeat(gray, 3, axis=-1),
                             name="unaligned_synthetic_color")
+
+
+@DATASETS.register("unaligned_synthetic_halfsat")
+def unaligned_synthetic_halfsat(path: str = "", load: int = 70,
+                                crop: int = 64, test: bool = False,
+                                n: int = 12, **_):
+    """An *invertible* unaligned translation task: domain A = full-color
+    blobs, domain B = saturation-halved blobs from an independent draw
+    (B = 0.5*A' + 0.5*gray(A')). Unlike ``unaligned_synthetic_color``
+    (full desaturation), the map is information-preserving — the exact
+    original is recoverable as A' = 2B - mean_c(B), a per-pixel linear
+    op — so BOTH cycle losses and both identity losses are exactly
+    satisfiable, the generators stay out of CycleGAN's steganographic
+    regime, and the bbox trigger branch is not crowded out. Built after
+    the full-desaturation demo measured the trigger being *unlearned*
+    once cycle-A pressure forced high-frequency color steganography
+    (artifacts/full_budget_cyclegan/SUMMARY.md, convergence demo
+    section). The domains remain separable through InstanceNorm via
+    inter-channel correlation (IN is per-channel affine and cannot
+    erase it)."""
+    rng = np.random.default_rng(17)
+    b = _blobs(rng, n, load).astype(np.float32)
+    gray = b.mean(axis=-1, keepdims=True)
+    half = np.clip(0.5 * b + 0.5 * gray, 0, 255).round().astype(np.uint8)
+    return UnalignedDataset(None, None, load, crop, test,
+                            arrays_a=_blobs(rng, n, load),
+                            arrays_b=half,
+                            name="unaligned_synthetic_halfsat")

@@ -33,16 +33,27 @@ def gaussian_window(win_size: int = 11, sigma: float = 1.5) -> jax.Array:
 
 
 def _blur(x: jax.Array, win: jax.Array) -> jax.Array:
-    """Separable depthwise gaussian filter, VALID padding, NHWC."""
+    """Separable depthwise gaussian filter, VALID padding, NHWC.
+
+    precision=HIGHEST is load-bearing: XLA:TPU lowers f32 convs to
+    reduced-precision (bf16-pass) matmuls by default, and these blurs
+    feed the variance cancellation E[x^2] - mu^2. On flat windows
+    (e.g. the white field of a watermark target) true sigma^2 ~ 0 while
+    the bf16 error is ~1e-3 — the same order as C2 = (0.03)^2 — which
+    can flip the cs denominator negative and blow SSIM far outside
+    [-1, 1] (measured -28 on a real eval crop before the fix; CPU
+    tests never see it because XLA:CPU convs are exact f32)."""
     c = x.shape[-1]
     n = win.shape[0]
     kh = jnp.tile(win.reshape(n, 1, 1, 1), (1, 1, 1, c))  # HWIO, I=1 (depthwise)
     kw = jnp.tile(win.reshape(1, n, 1, 1), (1, 1, 1, c))
     dn = ("NHWC", "HWIO", "NHWC")
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return x
 
 
@@ -61,8 +72,11 @@ def _ssim_per_channel(x, y, data_range, win_size, sigma):
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = blurred[..., 2 * c:3 * c] - mu1_sq
-    sigma2_sq = blurred[..., 3 * c:4 * c] - mu2_sq
+    # exact-arithmetic sigma^2 >= 0; clamp the fp dust so the cs
+    # denominator can never dip below C2 (belt to _blur's
+    # precision=HIGHEST braces — keeps SSIM inside [-1, 1])
+    sigma1_sq = jnp.maximum(blurred[..., 2 * c:3 * c] - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(blurred[..., 3 * c:4 * c] - mu2_sq, 0.0)
     sigma12 = blurred[..., 4 * c:5 * c] - mu1_mu2
 
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)

@@ -94,7 +94,12 @@ def main():
         dst = os.path.join(args.out, sweep)
         os.makedirs(dst, exist_ok=True)
         rows = {}
+        # sweep dirs also hold per-pct sample-image subdirectories
+        # (SIGN-10/, PRUNE-10/, ...); only the {pct}.json files are
+        # the artifact
         for f in sorted(os.listdir(src)):
+            if not f.endswith(".json"):
+                continue
             shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
             pct = int(os.path.splitext(f)[0])
             with open(os.path.join(src, f)) as fh:

@@ -205,3 +205,27 @@ def test_ssim_against_numpy_reference():
     per_image = ssim(jnp.asarray(np.repeat(a, 3, 0)),
                      jnp.asarray(np.repeat(b, 3, 0)), size_average=False)
     assert per_image.shape == (3,)
+
+
+def test_ssim_bounded_on_flat_windows():
+    """SSIM must stay inside [-1, 1] even on images dominated by flat
+    regions (sigma^2 ~ 0), where reduced-precision conv moments turn the
+    cs denominator negative. On XLA:TPU the default f32 conv precision
+    produced SSIM = -28 on a real watermark-region crop (white field of
+    the pasted watermark target) until ops/ssim.py pinned
+    precision=HIGHEST and clamped sigma^2 >= 0; this pins the bound on
+    every backend."""
+    rng = np.random.default_rng(7)
+    # mostly flat white with a small structured patch, like a watermark
+    # target region; the comparison image is flat where x is flat
+    x = np.ones((4, 64, 64, 3), np.float32)
+    y = np.ones((4, 64, 64, 3), np.float32)
+    x[:, 20:40, 20:40] = rng.uniform(0, 1, (4, 20, 20, 3))
+    y[:, 24:44, 24:44] = rng.uniform(0, 1, (4, 20, 20, 3))
+
+    q = np.asarray(ssim(jnp.asarray(x), jnp.asarray(y),
+                        data_range=1.0, size_average=False))
+    assert q.shape == (4,)
+    assert np.all(q >= -1.0) and np.all(q <= 1.0)
+    # flat-vs-flat background dominates: similarity should be high
+    assert np.all(q > 0.5)
